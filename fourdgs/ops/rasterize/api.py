@@ -1,0 +1,149 @@
+"""Differentiable Gaussian-splat rendering: preprocess -> bin -> composite.
+
+This is the TPU-native counterpart of the reference render wrapper +
+CUDA rasterizer (gaussian_splatting/gaussian_renderer/__init__.py:41-226
+and submodules/diff-gaussian-rasterization). Camera-pose gradients flow
+through `T_cw` by autodiff (callers parameterize
+`T_cw = se3_exp(tau) @ T_cw0` and differentiate w.r.t. tau), replacing the
+reference's theta/rho kernel arguments.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fourdgs.ops.rasterize.binning import bin_gaussians, tile_grid
+from fourdgs.ops.rasterize.oracle import RenderOutputs, composite_oracle
+from fourdgs.ops.rasterize.preprocess import ScreenGaussians, preprocess
+from fourdgs.ops.rasterize.tile_kernel import NUM_FIELDS, tile_composite
+
+
+class RasterConfig(NamedTuple):
+    """Static rasterizer capacity knobs (XLA shapes)."""
+
+    tile: int = 16
+    tile_cap: int = 1024      # K: max pairs composited per tile
+    max_rect: int = 64        # max tiles a Gaussian may touch (8x8)
+    max_pairs: int = 1 << 18  # global (tile, gaussian) pair capacity
+    use_oracle: bool = False  # pure-jnp compositor (tests / tiny scenes)
+
+    @property
+    def max_radius(self) -> int:
+        # biggest radius whose getRect fits max_rect: rect side s covers
+        # radius r when floor((2r + tile - 1)/tile) + 1 <= s
+        side = int(self.max_rect ** 0.5)
+        return ((side - 1) * self.tile - self.tile + 1) // 2
+
+
+def _assemble_image(tiles: jax.Array, tx_n: int, ty_n: int, tile: int, w: int, h: int):
+    """(num_tiles, tile*tile[, C]) -> ([C,] H, W)."""
+    if tiles.ndim == 3:
+        c = tiles.shape[-1]
+        img = tiles.reshape(ty_n, tx_n, tile, tile, c)
+        img = img.transpose(4, 0, 2, 1, 3).reshape(c, ty_n * tile, tx_n * tile)
+        return img[:, :h, :w]
+    img = tiles.reshape(ty_n, tx_n, tile, tile)
+    img = img.transpose(0, 2, 1, 3).reshape(ty_n * tile, tx_n * tile)
+    return img[:h, :w]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "width", "height", "tan_fovx", "tan_fovy", "config"),
+)
+def rasterize(
+    means3d: jax.Array,
+    scales: jax.Array,
+    quats: jax.Array,
+    opacities: jax.Array,
+    colors: jax.Array,
+    alive: jax.Array,
+    T_cw: jax.Array,
+    proj: jax.Array,
+    bg: jax.Array,
+    *,
+    fx: float,
+    fy: float,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    scale_mod: float = 1.0,
+    mean2d_offset: jax.Array | None = None,
+    config: RasterConfig = RasterConfig(),
+) -> RenderOutputs:
+    """Render activated Gaussians. `colors` are per-Gaussian RGB (SH deg 0
+    already evaluated) or any 3-channel payload (e.g. flow). `alive`
+    masks capacity slots / non-rendered subsets (the reference's boolean
+    `mask` argument). `mean2d_offset` is a zeros tap: its gradient is the
+    screen-space mean gradient used for densification statistics
+    (replaces reading .grad off viewspace_points)."""
+    sg = preprocess(
+        means3d, scales, quats, opacities, colors, alive,
+        T_cw, proj,
+        fx=fx, fy=fy, width=width, height=height,
+        tan_fovx=tan_fovx, tan_fovy=tan_fovy,
+        scale_mod=scale_mod, max_radius=config.max_radius,
+    )
+    if mean2d_offset is not None:
+        sg = sg._replace(mean2d=sg.mean2d + mean2d_offset)
+
+    if config.use_oracle:
+        return composite_oracle(sg, bg, width, height, tile=config.tile)
+
+    tx_n, ty_n = tile_grid(width, height, config.tile)
+    bins = bin_gaussians(
+        jax.lax.stop_gradient(sg.mean2d),
+        jax.lax.stop_gradient(sg.depth),
+        sg.radius,
+        sg.visible,
+        width=width,
+        height=height,
+        tile=config.tile,
+        max_rect=config.max_rect,
+        max_pairs=config.max_pairs,
+        tile_cap=config.tile_cap,
+    )
+
+    n = means3d.shape[0]
+    fields = jnp.stack(
+        [
+            sg.mean2d[:, 0], sg.mean2d[:, 1],
+            sg.conic[:, 0], sg.conic[:, 1], sg.conic[:, 2],
+            sg.opacity,
+            sg.color[:, 0], sg.color[:, 1], sg.color[:, 2],
+            sg.depth,
+        ],
+        axis=0,
+    )  # (NUM_FIELDS, N)
+    fields = jnp.pad(fields, ((0, 0), (0, 1)))  # zero row for padding gid == n
+    pairs = jnp.take(fields, bins.dense_gid.reshape(-1), axis=1)
+    pairs = pairs.reshape(NUM_FIELDS, bins.dense_gid.shape[0], config.tile_cap)
+    pairs = pairs.transpose(1, 0, 2)  # (num_tiles, NUM_FIELDS, K)
+
+    color_t, depth_t, tf_t, nt_t = tile_composite(
+        pairs, tx_n, ty_n, config.tile, width, height
+    )
+
+    color = _assemble_image(color_t, tx_n, ty_n, config.tile, width, height)
+    depth = _assemble_image(depth_t, tx_n, ty_n, config.tile, width, height)
+    t_final = _assemble_image(tf_t, tx_n, ty_n, config.tile, width, height)
+    color = color + t_final[None] * bg[:, None, None]
+
+    nt = jax.ops.segment_sum(
+        jax.lax.stop_gradient(nt_t).reshape(-1).astype(jnp.int32),
+        bins.dense_gid.reshape(-1),
+        num_segments=n + 1,
+    )[:n]
+
+    return RenderOutputs(
+        color=color,
+        depth=depth,
+        alpha=1.0 - t_final,
+        n_touched=nt,
+        T_final=t_final,
+    )
