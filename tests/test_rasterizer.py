@@ -246,5 +246,6 @@ def test_pose_gradient_descends():
     l0 = float(phot(tau0))
     g = jax.grad(phot)(tau0)
     assert np.all(np.isfinite(np.asarray(g)))
-    l1 = float(phot(tau0 - 0.02 * g / (jnp.linalg.norm(g) + 1e-8)))
-    assert l1 < l0
+    gn = g / (jnp.linalg.norm(g) + 1e-8)
+    losses = [float(phot(tau0 - s * gn)) for s in (0.002, 0.005, 0.01, 0.02)]
+    assert min(losses) < l0
