@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from fourdgs.ops.rasterize.binning import bin_gaussians, tile_grid
 from fourdgs.ops.rasterize.oracle import RenderOutputs, composite_oracle
 from fourdgs.ops.rasterize.preprocess import ScreenGaussians, preprocess
-from fourdgs.ops.rasterize.tile_kernel import NUM_FIELDS, tile_composite
+from fourdgs.ops.rasterize.tile_kernel import NUM_FIELDS, composite_from_fields
 
 
 class RasterConfig(NamedTuple):
@@ -121,12 +121,19 @@ def rasterize(
         axis=0,
     )  # (NUM_FIELDS, N)
     fields = jnp.pad(fields, ((0, 0), (0, 1)))  # zero row for padding gid == n
-    pairs = jnp.take(fields, bins.dense_gid.reshape(-1), axis=1)
-    pairs = pairs.reshape(NUM_FIELDS, bins.dense_gid.shape[0], config.tile_cap)
-    pairs = pairs.transpose(1, 0, 2)  # (num_tiles, NUM_FIELDS, K)
-
-    color_t, depth_t, tf_t, nt_t = tile_composite(
-        pairs, tx_n, ty_n, config.tile, width, height
+    color_t, depth_t, tf_t, nt_t = composite_from_fields(
+        fields,
+        bins.dense_gid,
+        bins.pair_tile,
+        bins.tile_start,
+        bins.gid_bygid,
+        bins.bygid_perm,
+        tx_n,
+        ty_n,
+        config.tile,
+        width,
+        height,
+        config.tile_cap,
     )
 
     color = _assemble_image(color_t, tx_n, ty_n, config.tile, width, height)

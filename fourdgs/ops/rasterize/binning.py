@@ -33,6 +33,8 @@ class TileBins(NamedTuple):
     dense_gid: jax.Array    # (num_tiles, K) int32 per-tile gaussian ids, N = padding
     dense_valid: jax.Array  # (num_tiles, K) bool
     truncated: jax.Array    # () bool — some tile exceeded per-tile capacity K
+    bygid_perm: jax.Array   # (P,) int32: sorted-pair positions ordered by gaussian id
+    gid_bygid: jax.Array    # (P,) int32: gaussian ids in that order (ascending)
 
 
 def tile_grid(width: int, height: int, tile: int) -> tuple[int, int]:
@@ -112,6 +114,15 @@ def bin_gaussians(
         dense_valid, gid_sorted_pad[jnp.minimum(idx, max_pairs)], n
     )
 
+    # permutation of sorted-pair positions grouping pairs by gaussian id —
+    # the backward pass reduces per-pair gradients to per-Gaussian
+    # gradients with gathers + a segmented cumsum over this order instead
+    # of a scatter-add (XLA scatters serialize on TPU). DCE'd when the
+    # render is forward-only.
+    gid_bygid, bygid_perm = jax.lax.sort(
+        (gid_sorted, jnp.arange(max_pairs, dtype=jnp.int32)), num_keys=1
+    )
+
     return TileBins(
         pair_gid=gid_sorted,
         pair_tile=tile_sorted,
@@ -122,4 +133,6 @@ def bin_gaussians(
         dense_gid=dense_gid,
         dense_valid=dense_valid,
         truncated=jnp.any(tile_count > tile_cap),
+        bygid_perm=bygid_perm,
+        gid_bygid=gid_bygid,
     )

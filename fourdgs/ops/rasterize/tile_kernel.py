@@ -103,7 +103,7 @@ def _fwd_kernel(pairs_ref, out_ref, nt_ref, *, k: int, tx_n: int, tile: int, img
     npix = tile * tile
     cum_carry = jnp.zeros((npix, 1), jnp.float32)
     la_applied = jnp.zeros((npix, 1), jnp.float32)
-    c_acc = jnp.zeros((npix, NCH), jnp.float32)
+    c_acc = [jnp.zeros((npix, 1), jnp.float32) for _ in range(NCH)]
     d_acc = jnp.zeros((npix, 1), jnp.float32)
 
     for c in range(k // CHUNK):
@@ -116,9 +116,7 @@ def _fwd_kernel(pairs_ref, out_ref, nt_ref, *, k: int, tx_n: int, tile: int, img
 
         for ch, f in enumerate((F_R, F_G, F_B)):
             cch = pairs_ref[0, f, q["sl"]][None, :]
-            c_acc = c_acc.at[:, ch : ch + 1].add(
-                jnp.sum(w * cch, axis=1, keepdims=True)
-            )
+            c_acc[ch] = c_acc[ch] + jnp.sum(w * cch, axis=1, keepdims=True)
         dep = pairs_ref[0, F_DEPTH, q["sl"]][None, :]
         d_acc = d_acc + jnp.sum(w * dep, axis=1, keepdims=True)
 
@@ -136,7 +134,7 @@ def _fwd_kernel(pairs_ref, out_ref, nt_ref, *, k: int, tx_n: int, tile: int, img
 
     t_final = jnp.exp(la_applied)
     out = jnp.concatenate(
-        [c_acc, d_acc, t_final, jnp.zeros((npix, 3), jnp.float32)], axis=1
+        c_acc + [d_acc, t_final, jnp.zeros((npix, 3), jnp.float32)], axis=1
     )
     out_ref[0, :, :] = out
 
@@ -154,7 +152,7 @@ def _bwd_kernel(pairs_ref, g_ref, dpairs_ref, *, k: int, tx_n: int, tile: int, i
     # ---- pass 1: totals (weighted color/depth sums and final T) ----
     cum_carry = jnp.zeros((npix, 1), jnp.float32)
     la_applied = jnp.zeros((npix, 1), jnp.float32)
-    c_tot = jnp.zeros((npix, NCH), jnp.float32)
+    c_tot = [jnp.zeros((npix, 1), jnp.float32) for _ in range(NCH)]
     d_tot = jnp.zeros((npix, 1), jnp.float32)
     for c in range(k // CHUNK):
         q = _chunk_quantities(pairs_ref, c * CHUNK, px, py)
@@ -164,7 +162,7 @@ def _bwd_kernel(pairs_ref, g_ref, dpairs_ref, *, k: int, tx_n: int, tile: int, i
         w = jnp.where(applied, q["alpha"] * jnp.exp(cum - q["la"]), 0.0)
         for ch, f in enumerate((F_R, F_G, F_B)):
             cch = pairs_ref[0, f, q["sl"]][None, :]
-            c_tot = c_tot.at[:, ch : ch + 1].add(jnp.sum(w * cch, axis=1, keepdims=True))
+            c_tot[ch] = c_tot[ch] + jnp.sum(w * cch, axis=1, keepdims=True)
         dep = pairs_ref[0, F_DEPTH, q["sl"]][None, :]
         d_tot = d_tot + jnp.sum(w * dep, axis=1, keepdims=True)
         la_applied = la_applied + jnp.sum(jnp.where(applied, q["la"], 0.0), axis=1, keepdims=True)
@@ -173,7 +171,7 @@ def _bwd_kernel(pairs_ref, g_ref, dpairs_ref, *, k: int, tx_n: int, tile: int, i
 
     # ---- pass 2: per-pair gradients ----
     cum_carry = jnp.zeros((npix, 1), jnp.float32)
-    pref_wc = jnp.zeros((npix, NCH), jnp.float32)  # running inclusive prefix of w*c
+    pref_wc = [jnp.zeros((npix, 1), jnp.float32) for _ in range(NCH)]
     pref_wd = jnp.zeros((npix, 1), jnp.float32)
     for c in range(k // CHUNK):
         q = _chunk_quantities(pairs_ref, c * CHUNK, px, py)
@@ -199,14 +197,14 @@ def _bwd_kernel(pairs_ref, g_ref, dpairs_ref, *, k: int, tx_n: int, tile: int, i
         for ch, f in enumerate((F_R, F_G, F_B)):
             cch = pairs_ref[0, f, q["sl"]][None, :]
             wc = w * cch
-            pref_in = pref_wc[:, ch : ch + 1] + jnp.dot(
+            pref_in = pref_wc[ch] + jnp.dot(
                 wc, tri, preferred_element_type=jnp.float32
             )
-            suffix_c = c_tot[:, ch : ch + 1] - pref_in
+            suffix_c = c_tot[ch] - pref_in
             g_ch = g_c[:, ch : ch + 1]
             dalpha = dalpha + g_ch * (cch * t_before - suffix_c * inv_1ma)
             d_c_rows.append(jnp.sum(g_ch * w, axis=0, keepdims=True))
-            pref_wc = pref_wc.at[:, ch : ch + 1].set(pref_in[:, CHUNK - 1 : CHUNK])
+            pref_wc[ch] = pref_in[:, CHUNK - 1 : CHUNK]
         pref_wd = pref_wd_in[:, CHUNK - 1 : CHUNK]
 
         unclamped = (q["raw"] < ALPHA_MAX).astype(jnp.float32)
@@ -307,3 +305,110 @@ def _tc_bwd(tx_n, ty_n, tile, img_w, img_h, pairs, g):
 
 
 tile_composite.defvjp(_tc_fwd, _tc_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fields-level entry point with a scatter-free backward.
+#
+# Differentiating the jnp gather fields -> dense pair blocks would make XLA
+# emit a 12M-element scatter-add in the transpose (~40ms on v5e — the CUDA
+# analogue is the atomicAdd storm the reference's backward.cu carefully
+# block-reduces). Instead we define the custom VJP one level up: the
+# backward maps dense per-pair gradients to the sorted pair order (gather),
+# regroups them by gaussian id via a precomputed permutation (gather), and
+# segment-reduces with a cumsum + boundary differences (gathers only).
+# ---------------------------------------------------------------------------
+
+
+def _pairs_from_fields(fields_pad, dense_gid, k):
+    pairs = jnp.take(fields_pad, dense_gid.reshape(-1), axis=1)
+    pairs = pairs.reshape(NUM_FIELDS, dense_gid.shape[0], k)
+    return pairs.transpose(1, 0, 2)
+
+
+def _cff_impl(fields_pad, dense_gid, pair_tile, tile_start, gid_bygid, bygid_perm,
+              tx_n, ty_n, tile, img_w, img_h, k):
+    pairs = _pairs_from_fields(fields_pad, dense_gid, k)
+    return _composite_fwd_impl(
+        pairs, tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def composite_from_fields(
+    fields_pad, dense_gid, pair_tile, tile_start, gid_bygid, bygid_perm,
+    tx_n, ty_n, tile, img_w, img_h, k,
+):
+    """fields_pad (NUM_FIELDS, N+1) + binning index arrays ->
+    (color (T,256,3), depth (T,256), T_final (T,256), n_touched (T,K))."""
+    return _cff_impl(
+        fields_pad, dense_gid, pair_tile, tile_start, gid_bygid, bygid_perm,
+        tx_n, ty_n, tile, img_w, img_h, k,
+    )
+
+
+def _cff_fwd(fields_pad, dense_gid, pair_tile, tile_start, gid_bygid, bygid_perm,
+             tx_n, ty_n, tile, img_w, img_h, k):
+    outs = _cff_impl(
+        fields_pad, dense_gid, pair_tile, tile_start, gid_bygid, bygid_perm,
+        tx_n, ty_n, tile, img_w, img_h, k,
+    )
+    res = (fields_pad, dense_gid, pair_tile, tile_start, gid_bygid, bygid_perm)
+    return outs, res
+
+
+def _cff_bwd(tx_n, ty_n, tile, img_w, img_h, k, res, g):
+    fields_pad, dense_gid, pair_tile, tile_start, gid_bygid, bygid_perm = res
+    g_color, g_depth, g_tf, _g_nt = g
+    num_tiles = dense_gid.shape[0]
+    npix = tile * tile
+    pairs = _pairs_from_fields(fields_pad, dense_gid, k)
+    gbuf = jnp.concatenate(
+        [
+            g_color,
+            g_depth[:, :, None],
+            g_tf[:, :, None],
+            jnp.zeros((num_tiles, npix, 3), jnp.float32),
+        ],
+        axis=2,
+    )
+    kern = functools.partial(
+        _bwd_kernel, k=k, tx_n=tx_n, tile=tile, img_w=img_w, img_h=img_h
+    )
+    dpairs = pl.pallas_call(
+        kern,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, NUM_FIELDS, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npix, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, NUM_FIELDS, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, NUM_FIELDS, k), jnp.float32),
+        interpret=_interpret(),
+    )(pairs, gbuf)
+
+    # dense (tile, k) grads -> sorted-pair order (gathers only)
+    max_pairs = pair_tile.shape[0]
+    sp = jnp.arange(max_pairs, dtype=jnp.int32)
+    t_sp = pair_tile
+    k_sp = sp - tile_start[jnp.minimum(t_sp, num_tiles - 1)]
+    valid_sp = (t_sp < num_tiles) & (k_sp >= 0) & (k_sp < k)
+    flat = jnp.where(valid_sp, t_sp * k + k_sp, 0)
+    dflat = dpairs.transpose(1, 0, 2).reshape(NUM_FIELDS, num_tiles * k)
+    g_sorted = dflat[:, flat] * valid_sp[None].astype(jnp.float32)
+
+    # regroup by gaussian id and segment-reduce with cumsum differences
+    g_bygid = g_sorted[:, bygid_perm]
+    csum = jnp.cumsum(g_bygid, axis=1)
+    z = jnp.concatenate([jnp.zeros((NUM_FIELDS, 1), jnp.float32), csum], axis=1)
+    n_pad = fields_pad.shape[1]
+    ids = jnp.arange(n_pad, dtype=jnp.int32)
+    starts = jnp.searchsorted(gid_bygid, ids, side="left")
+    ends = jnp.searchsorted(gid_bygid, ids, side="right")
+    g_fields = z[:, ends] - z[:, starts]
+    return (g_fields, None, None, None, None, None)
+
+
+composite_from_fields.defvjp(_cff_fwd, _cff_bwd)
