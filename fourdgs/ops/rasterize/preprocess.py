@@ -78,7 +78,11 @@ def ewa_cov2d(
     """
     R = T_cw[:3, :3]
     t_cam = means3d @ R.T + T_cw[:3, 3]
-    tz = t_cam[:, 2]
+    # Guard the divide for culled/dead Gaussians: a 0 or negative depth
+    # would produce inf/NaN forward values that poison the backward pass
+    # through `where` masking (0 * NaN = NaN). Guarded slots are masked
+    # out downstream by the frustum cull.
+    tz = jnp.where(t_cam[:, 2] > NEAR_Z, t_cam[:, 2], 1.0)
     # clamp the projective point to 1.3x the frustum (forward.cu:84-89)
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy

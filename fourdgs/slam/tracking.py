@@ -1,0 +1,157 @@
+"""Camera tracking: pose-only optimization by differentiable rendering.
+
+Re-design of the reference frontend tracking loop
+(utils/slam_frontend.py:335-470) as ONE jitted program: a
+`lax.while_loop` running up to `max_iters` render+grad+Adam steps with
+the reference's early exit (|tau| < 1e-4 after retraction,
+utils/pose_utils.py:80-97). Only the static Gaussians are rendered
+(mask = ~dygs, reference slam_frontend.py:413) and the loss removes
+dynamic pixels via the motion mask (rm_dynamic=True).
+
+The optimized variables mirror the reference exactly: SE(3) delta
+(rot lr 0.003 / trans lr 0.001 from config) retracted left-multiplicatively
+each step with the Adam moments persisting across steps (the reference
+zeroes the delta parameters but keeps optimizer state), plus exposure
+affine a/b (lr 0.01).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fourdgs.geometry.se3 import se3_exp
+from fourdgs.models.gaussian_map import GaussianMap
+from fourdgs.ops.rasterize import RasterConfig, rasterize
+from fourdgs.slam.camera import Frame, Intrinsics
+from fourdgs.slam.losses import apply_exposure, median_depth, tracking_loss_rgbd
+
+
+class TrackingConfig(NamedTuple):
+    max_iters: int = 100
+    lr_rot: float = 0.003
+    lr_trans: float = 0.001
+    lr_exposure: float = 0.01
+    alpha: float = 0.9
+    rgb_boundary_threshold: float = 0.01
+    converged_threshold: float = 1e-4
+    raster: RasterConfig = RasterConfig()
+
+
+class TrackResult(NamedTuple):
+    T_cw: jax.Array        # (4, 4) refined pose
+    exposure: jax.Array    # (2,) [a, b]
+    n_iters: jax.Array     # () int32
+    final_loss: jax.Array  # ()
+    median_depth: jax.Array
+    visibility: jax.Array  # (C,) bool — n_touched > 0 at the final pose
+    opacity: jax.Array     # (H, W) final rendered opacity
+    depth: jax.Array       # (H, W) final rendered depth
+
+
+def _adam_update(g, mu, nu, count, lr, b1=0.9, b2=0.999, eps=1e-8):
+    mu = b1 * mu + (1 - b1) * g
+    nu = b2 * nu + (1 - b2) * g * g
+    t = count.astype(jnp.float32)
+    mhat = mu / (1 - b1**t)
+    vhat = nu / (1 - b2**t)
+    return lr * mhat / (jnp.sqrt(vhat) + eps), mu, nu
+
+
+@partial(jax.jit, static_argnames=("intr", "config", "use_motion_mask"))
+def track_frame(
+    gmap: GaussianMap,
+    frame: Frame,
+    T_init: jax.Array,
+    exposure_init: jax.Array,
+    intr: Intrinsics,
+    config: TrackingConfig = TrackingConfig(),
+    use_motion_mask: bool = True,
+) -> TrackResult:
+    """Optimize the frame pose against the static map."""
+    static_alive = gmap.alive & ~gmap.dygs
+    colors = gmap.get_color
+    scales = gmap.get_scaling
+    quats = gmap.get_rotation
+    opac = gmap.get_opacity
+    xyz = gmap.params.xyz
+    proj = intr.proj()
+    bg = jnp.zeros(3)
+    lr = jnp.concatenate(
+        [
+            jnp.full((3,), config.lr_trans),
+            jnp.full((3,), config.lr_rot),
+            jnp.full((2,), config.lr_exposure),
+        ]
+    )
+
+    def render_at(T_cw):
+        return rasterize(
+            xyz, scales, quats, opac, colors, static_alive, T_cw, proj, bg,
+            fx=intr.fx, fy=intr.fy, width=intr.width, height=intr.height,
+            tan_fovx=intr.tan_fovx, tan_fovy=intr.tan_fovy,
+            config=config.raster,
+        )
+
+    def loss_fn(delta, T_cw):
+        # delta = [trans(3), rot(3), exposure_a, exposure_b]
+        tau = jnp.concatenate([delta[:3], delta[3:6]])
+        T = se3_exp(tau) @ T_cw
+        out = render_at(T)
+        image_ab = apply_exposure(out.color, delta[6], delta[7])
+        motion = frame.motion_mask if use_motion_mask else None
+        # the reference skips the motion mask on frame 0 (uid > 0 check)
+        loss = tracking_loss_rgbd(
+            image_ab, out.depth, out.alpha, frame.image, frame.depth,
+            frame.grad_mask,
+            motion_mask=motion,
+            alpha=config.alpha,
+            rgb_boundary_threshold=config.rgb_boundary_threshold,
+        )
+        return loss, out
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def body(state):
+        T_cw, exp_ab, mu, nu, count, _, _ = state
+        delta0 = jnp.concatenate([jnp.zeros(6), exp_ab])
+        (loss_val, _), g = grad_fn(delta0, T_cw)
+        count = count + 1
+        step, mu, nu = _adam_update(g, mu, nu, count, lr)
+        upd = -step
+        tau = jnp.concatenate([upd[:3], upd[3:6]])
+        T_new = se3_exp(tau) @ T_cw
+        exp_new = exp_ab + upd[6:8]
+        converged = jnp.linalg.norm(tau) < config.converged_threshold
+        return (T_new, exp_new, mu, nu, count, converged, loss_val)
+
+    def cond(state):
+        _, _, _, _, count, converged, _ = state
+        return (count < config.max_iters) & ~converged
+
+    init = (
+        T_init,
+        exposure_init,
+        jnp.zeros(8),
+        jnp.zeros(8),
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(jnp.inf, jnp.float32),
+    )
+    T_cw, exp_ab, _, _, count, _, loss_val = jax.lax.while_loop(cond, body, init)
+
+    out = render_at(T_cw)
+    med, _, _ = median_depth(out.depth, out.alpha)
+    return TrackResult(
+        T_cw=T_cw,
+        exposure=exp_ab,
+        n_iters=count,
+        final_loss=loss_val,
+        median_depth=med,
+        visibility=out.n_touched > 0,
+        opacity=out.alpha,
+        depth=out.depth,
+    )
