@@ -19,24 +19,32 @@ import jax.numpy as jnp
 from fourdgs.ops.rasterize.binning import bin_gaussians, tile_grid
 from fourdgs.ops.rasterize.oracle import RenderOutputs, composite_oracle
 from fourdgs.ops.rasterize.preprocess import ScreenGaussians, preprocess
-from fourdgs.ops.rasterize.tile_kernel import NUM_FIELDS, composite_from_fields
+from fourdgs.ops.rasterize.tile_kernel import (
+    NUM_FIELDS,
+    composite_from_fields,
+    reduce_pairs_by_gaussian,
+)
 
 
 class RasterConfig(NamedTuple):
     """Static rasterizer capacity knobs (XLA shapes)."""
 
     tile: int = 16
-    tile_cap: int = 1024      # K: max pairs composited per tile
-    max_rect: int = 64        # max tiles a Gaussian may touch (8x8)
+    tile_cap: int = 512       # K: max pairs composited per tile
+    max_rect: int = 16        # max tiles a Gaussian may touch (4x4)
     max_pairs: int = 1 << 18  # global (tile, gaussian) pair capacity
     use_oracle: bool = False  # pure-jnp compositor (tests / tiny scenes)
+    with_n_touched: bool = True  # per-Gaussian visibility counts (skip in
+    #                              inner tracking iterations for speed)
 
     @property
     def max_radius(self) -> int:
-        # biggest radius whose getRect fits max_rect: rect side s covers
-        # radius r when floor((2r + tile - 1)/tile) + 1 <= s
+        # biggest radius whose getRect fits max_rect: a rect side of s
+        # tiles covers radius r when 2r + tile - 1 < s*tile, i.e.
+        # r <= ((s-1)*tile)/2 (s=4, tile=16 -> r<=24; the reference's own
+        # size_threshold=20 pruning keeps radii below this anyway)
         side = int(self.max_rect ** 0.5)
-        return ((side - 1) * self.tile - self.tile + 1) // 2
+        return ((side - 1) * self.tile) // 2
 
 
 def _assemble_image(tiles: jax.Array, tx_n: int, ty_n: int, tile: int, w: int, h: int):
@@ -118,16 +126,18 @@ def rasterize(
             sg.color[:, 0], sg.color[:, 1], sg.color[:, 2],
             sg.depth,
         ],
-        axis=0,
-    )  # (NUM_FIELDS, N)
-    fields = jnp.pad(fields, ((0, 0), (0, 1)))  # zero row for padding gid == n
+        axis=-1,
+    )  # (N, NUM_FIELDS) rows
+    fields = jnp.pad(fields, ((0, 1), (0, 0)))  # zero row for padding gid == n
     color_t, depth_t, tf_t, nt_t = composite_from_fields(
         fields,
-        bins.dense_gid,
+        bins.pair_gid,
+        bins.tile_count,
         bins.pair_tile,
         bins.tile_start,
-        bins.gid_bygid,
         bins.bygid_perm,
+        bins.gid_start,
+        bins.gid_count,
         tx_n,
         ty_n,
         config.tile,
@@ -141,11 +151,19 @@ def rasterize(
     t_final = _assemble_image(tf_t, tx_n, ty_n, config.tile, width, height)
     color = color + t_final[None] * bg[:, None, None]
 
-    nt = jax.ops.segment_sum(
-        jax.lax.stop_gradient(nt_t).reshape(-1).astype(jnp.int32),
-        bins.dense_gid.reshape(-1),
-        num_segments=n + 1,
-    )[:n]
+    if config.with_n_touched:
+        nt = reduce_pairs_by_gaussian(
+            jax.lax.stop_gradient(nt_t).reshape(-1, 1),
+            bins.pair_tile,
+            bins.tile_start,
+            bins.bygid_perm,
+            bins.gid_start,
+            bins.gid_count,
+            tx_n * ty_n,
+            config.tile_cap,
+        )[:n, 0].astype(jnp.int32)
+    else:
+        nt = jnp.zeros((n,), jnp.int32)
 
     return RenderOutputs(
         color=color,

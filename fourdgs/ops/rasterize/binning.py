@@ -2,16 +2,26 @@
 
 TPU-native replacement for the reference's cub prefix-sum + 64-bit-key
 radix sort pipeline (cuda_rasterizer/rasterizer_impl.cu:280-320,
-duplicateWithKeys/identifyTileRanges): we expand each visible Gaussian's
-tile rectangle into (tile_id, gaussian_id) pairs with a static capacity,
-sort lexicographically by (tile_id, depth) with `lax.sort(num_keys=2)`,
-and recover per-tile ranges with `searchsorted`. All shapes are static;
-overflow pairs are dropped (counted for diagnostics).
+duplicateWithKeys/identifyTileRanges). The design is scatter-free — XLA
+scatters serialize on TPU (~20ms for 4M updates on v5e) while its sorts
+run at memory speed — so compaction happens inside the sort:
+
+  1. every Gaussian expands to a static MAX_RECT candidate block
+     (invalid slots keyed past the last tile),
+  2. ONE lexicographic `lax.sort` over (tile, depth) moves all real
+     pairs to the front, grouped per tile in depth order; the first
+     `max_pairs` entries are the pair buffer,
+  3. per-tile ranges come from `searchsorted`,
+  4. a second small sort by gaussian id yields the permutation used by
+     the backward pass to reduce per-pair gradients to per-Gaussian
+     gradients with gathers + a segmented cumsum (no scatter-add — the
+     CUDA version needs atomics here, backward.cu:759-784).
 
 The rect math matches CUDA `getRect` (auxiliary.h): tiles
-[(p-r)/T, (p+r+T-1)/T) clamped to the grid. `MAX_RECT` bounds the rect
-slots per Gaussian; `preprocess(max_radius=...)` guarantees the true rect
-fits, so nothing is silently truncated.
+[(p-r)/T, (p+r+T-1)/T) clamped to the grid. `preprocess(max_radius=...)`
+caps radii so the true rect always fits MAX_RECT — nothing is silently
+truncated (for tile=16, MAX_RECT=16 admits radii up to 24px; the
+reference's own size_threshold=20 pruning keeps Gaussians under that).
 """
 
 from __future__ import annotations
@@ -28,13 +38,12 @@ class TileBins(NamedTuple):
     pair_tile: jax.Array    # (P,) int32 tile id per sorted pair (num_tiles = padding)
     tile_start: jax.Array   # (num_tiles,) int32 offset of each tile's range
     tile_count: jax.Array   # (num_tiles,) int32 pairs in each tile
-    num_pairs: jax.Array    # () int32 total real pairs (pre-drop)
+    num_pairs: jax.Array    # () int32 total real pairs
     overflow: jax.Array     # () bool — pair buffer overflowed
-    dense_gid: jax.Array    # (num_tiles, K) int32 per-tile gaussian ids, N = padding
-    dense_valid: jax.Array  # (num_tiles, K) bool
     truncated: jax.Array    # () bool — some tile exceeded per-tile capacity K
-    bygid_perm: jax.Array   # (P,) int32: sorted-pair positions ordered by gaussian id
-    gid_bygid: jax.Array    # (P,) int32: gaussian ids in that order (ascending)
+    bygid_perm: jax.Array   # (P,) int32: pair-buffer positions grouped by gaussian id
+    gid_start: jax.Array    # (N+1,) int32: first by-gid position per gaussian
+    gid_count: jax.Array    # (N+1,) int32: pairs per gaussian
 
 
 def tile_grid(width: int, height: int, tile: int) -> tuple[int, int]:
@@ -54,13 +63,14 @@ def bin_gaussians(
     width: int,
     height: int,
     tile: int = 16,
-    max_rect: int = 64,
+    max_rect: int = 16,
     max_pairs: int = 1 << 18,
     tile_cap: int = 1024,
 ) -> TileBins:
     n = mean2d.shape[0]
     tx_n, ty_n = tile_grid(width, height, tile)
     num_tiles = tx_n * ty_n
+    n_cand = n * max_rect
 
     mx, my = mean2d[:, 0], mean2d[:, 1]
     r = radius.astype(mx.dtype)
@@ -72,67 +82,62 @@ def bin_gaussians(
     rect_w = tx1 - tx0
     touched = jnp.where(visible, rect_w * (ty1 - ty0), 0)
     touched = jnp.minimum(touched, max_rect)
+    num_pairs = jnp.sum(touched)
 
-    offsets = jnp.cumsum(touched) - touched  # exclusive prefix sum
-    num_pairs = offsets[-1] + touched[-1]
-
-    # (N, max_rect) pair expansion
+    # (N, max_rect) candidate expansion; invalid slots key past every tile
     slot = jnp.arange(max_rect, dtype=jnp.int32)[None, :]
     safe_w = jnp.maximum(rect_w, 1)[:, None]
     d_ty = slot // safe_w
     d_tx = slot - d_ty * safe_w
-    pair_tile = (ty0[:, None] + d_ty) * tx_n + (tx0[:, None] + d_tx)
-    pair_ok = slot < touched[:, None]
-    pos = jnp.where(pair_ok, offsets[:, None] + slot, max_pairs)
+    cand_tile = (ty0[:, None] + d_ty) * tx_n + (tx0[:, None] + d_tx)
+    cand_ok = slot < touched[:, None]
+    cand_tile = jnp.where(cand_ok, cand_tile, num_tiles).reshape(-1)
+    cand_gid = jnp.where(
+        cand_ok, jnp.arange(n, dtype=jnp.int32)[:, None], n
+    ).reshape(-1)
+    cand_depth = jnp.where(
+        cand_ok, jnp.broadcast_to(depth[:, None], (n, max_rect)), jnp.inf
+    ).reshape(-1)
 
-    gid_src = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_rect)
+    # sort-compaction: real pairs land in the first num_pairs slots,
+    # grouped by tile in depth order (lax.sort is stable)
+    tile_s, _, gid_s = jax.lax.sort(
+        (cand_tile, cand_depth, cand_gid), num_keys=2
     )
-    tiles_buf = jnp.full((max_pairs,), num_tiles, dtype=jnp.int32)
-    gid_buf = jnp.full((max_pairs,), n, dtype=jnp.int32)
-    tiles_buf = tiles_buf.at[pos.ravel()].set(pair_tile.ravel(), mode="drop")
-    gid_buf = gid_buf.at[pos.ravel()].set(gid_src.ravel(), mode="drop")
-
-    depth_pad = jnp.concatenate([depth, jnp.array([jnp.inf], depth.dtype)])
-    pair_depth = depth_pad[jnp.minimum(gid_buf, n)]
-
-    tile_sorted, _, gid_sorted = jax.lax.sort(
-        (tiles_buf, pair_depth, gid_buf), num_keys=2
-    )
+    if n_cand >= max_pairs:
+        pair_tile = tile_s[:max_pairs]
+        pair_gid = gid_s[:max_pairs]
+    else:
+        pair_tile = jnp.pad(tile_s, (0, max_pairs - n_cand), constant_values=num_tiles)
+        pair_gid = jnp.pad(gid_s, (0, max_pairs - n_cand), constant_values=n)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
+    tile_start = jnp.searchsorted(pair_tile, tile_ids, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(pair_tile, tile_ids, side="right").astype(jnp.int32)
     tile_count = tile_end - tile_start
 
-    # dense per-tile gather with capacity K
-    k = jnp.arange(tile_cap, dtype=jnp.int32)[None, :]
-    idx = tile_start[:, None] + k
-    dense_valid = k < tile_count[:, None]
-    gid_sorted_pad = jnp.concatenate([gid_sorted, jnp.array([n], jnp.int32)])
-    dense_gid = jnp.where(
-        dense_valid, gid_sorted_pad[jnp.minimum(idx, max_pairs)], n
+    # by-gaussian grouping of pair-buffer positions (backward reduction).
+    # Per-gid segment boundaries are the expansion prefix sums: every real
+    # pair survives compaction (absent overflow), so gaussian g owns
+    # by-gid positions [offsets[g], offsets[g] + touched[g]).
+    _, bygid_perm = jax.lax.sort(
+        (pair_gid, jnp.arange(max_pairs, dtype=jnp.int32)), num_keys=1
     )
-
-    # permutation of sorted-pair positions grouping pairs by gaussian id —
-    # the backward pass reduces per-pair gradients to per-Gaussian
-    # gradients with gathers + a segmented cumsum over this order instead
-    # of a scatter-add (XLA scatters serialize on TPU). DCE'd when the
-    # render is forward-only.
-    gid_bygid, bygid_perm = jax.lax.sort(
-        (gid_sorted, jnp.arange(max_pairs, dtype=jnp.int32)), num_keys=1
+    offsets = (jnp.cumsum(touched) - touched).astype(jnp.int32)
+    gid_start = jnp.concatenate([offsets, jnp.array([max_pairs], jnp.int32)])
+    gid_count = jnp.concatenate([touched, jnp.array([0], jnp.int32)]).astype(
+        jnp.int32
     )
 
     return TileBins(
-        pair_gid=gid_sorted,
-        pair_tile=tile_sorted,
+        pair_gid=pair_gid,
+        pair_tile=pair_tile,
         tile_start=tile_start,
         tile_count=tile_count,
         num_pairs=num_pairs,
         overflow=num_pairs > max_pairs,
-        dense_gid=dense_gid,
-        dense_valid=dense_valid,
         truncated=jnp.any(tile_count > tile_cap),
         bygid_perm=bygid_perm,
-        gid_bygid=gid_bygid,
+        gid_start=gid_start,
+        gid_count=gid_count,
     )
