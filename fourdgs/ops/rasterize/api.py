@@ -171,4 +171,5 @@ def rasterize(
         alpha=1.0 - t_final,
         n_touched=nt,
         T_final=t_final,
+        radii=jax.lax.stop_gradient(sg.radius),
     )

@@ -44,6 +44,7 @@ class RenderOutputs(NamedTuple):
     alpha: jax.Array      # (H, W) accumulated opacity
     n_touched: jax.Array  # (N,) int32
     T_final: jax.Array    # (H, W)
+    radii: jax.Array      # (N,) int32 screen-space radius (0 = culled)
 
 
 def composite_oracle(
@@ -109,4 +110,5 @@ def composite_oracle(
         alpha=(1.0 - T_final).reshape(height, width),
         n_touched=n_touched,
         T_final=T_final.reshape(height, width),
+        radii=sg.radius,
     )

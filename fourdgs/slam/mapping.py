@@ -1,0 +1,294 @@
+"""Mapping backend: multi-view map optimization over the keyframe window.
+
+Re-design of the reference backend mapping loop
+(utils/slam_backend.py:306-774 `map`, :238-297 `initialize_map`,
+:1009-1225 `map_static`) as jitted chunks:
+
+  - one `map_chunk` call runs `num_iters` optimization iterations inside
+    `lax.fori_loop`: per iteration it renders the window views plus 2
+    random replay keyframes (reference :526), takes the mapping loss +
+    10x isotropic scale regularizer (:653-655), and applies Adam to the
+    map parameters and to the per-keyframe pose/exposure (first
+    `pose_window` views, rot/trans LR halved — reference :957-971),
+  - the reference's `i > 100` gating of map-parameter steps during the
+    200-iteration keyframe phase (:768-772) is the `step_after` argument,
+  - densify / opacity-reset / prune cadence runs on the host BETWEEN
+    chunks (the host owns `iteration_count` and calls the jitted
+    `densify_and_prune` / `reset_opacity_nonvisible` at the reference's
+    boundaries: every `gaussian_update_every` at `gaussian_update_offset`,
+    reset every `gaussian_reset` — :723-745),
+  - per-view visibility (n_touched > 0) for window bookkeeping is
+    computed by `window_visibility` after the chunk, matching
+    occ_aware_visibility (:665-668).
+
+All keyframe pixels/poses live in the device-resident KeyframeStore, so
+random replay needs no host round trip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fourdgs.geometry.se3 import se3_exp
+from fourdgs.models.gaussian_map import (
+    AdamState,
+    GaussianMap,
+    MapLRs,
+    adam_step,
+)
+from fourdgs.ops.rasterize import RasterConfig, rasterize
+from fourdgs.slam.camera import Intrinsics
+from fourdgs.slam.keyframes import KeyframeStore
+from fourdgs.slam.losses import apply_exposure, isotropic_loss, mapping_loss_rgbd
+
+
+class MappingConfig(NamedTuple):
+    num_window_views: int = 8     # key_opt slots (window[:3] + covisible picks)
+    num_random_views: int = 2     # random replay keyframes per iteration
+    pose_window: int = 3
+    alpha: float = 0.9
+    rgb_boundary_threshold: float = 0.01
+    lr_rot: float = 0.0015        # 0.5 x tracking LRs (slam_backend.py:962-970)
+    lr_trans: float = 0.0005
+    lr_exposure: float = 0.01
+    isotropic_weight: float = 10.0
+    rm_dynamic: bool = True       # mask dynamic pixels out of the loss
+    raster: RasterConfig = RasterConfig(with_n_touched=False)
+    lrs: MapLRs = MapLRs()
+
+    @property
+    def num_views(self) -> int:
+        return self.num_window_views + self.num_random_views
+
+
+class PoseAdam(NamedTuple):
+    mu: jax.Array     # (V, 8) [trans(3), rot(3), exposure(2)]
+    nu: jax.Array     # (V, 8)
+    count: jax.Array  # () int32
+
+
+def init_pose_adam(num_views: int) -> PoseAdam:
+    return PoseAdam(
+        mu=jnp.zeros((num_views, 8)),
+        nu=jnp.zeros((num_views, 8)),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+class MapChunkResult(NamedTuple):
+    gmap: GaussianMap
+    adam: AdamState
+    store: KeyframeStore
+    pose_adam: PoseAdam
+    final_loss: jax.Array
+
+
+def _render_view(gmap: GaussianMap, T_cw, proj, intr: Intrinsics, cfg: MappingConfig,
+                 mean2d_offset=None):
+    return rasterize(
+        gmap.params.xyz,
+        gmap.get_scaling,
+        gmap.get_rotation,
+        gmap.get_opacity,
+        gmap.get_color,
+        gmap.alive,
+        T_cw,
+        proj,
+        jnp.zeros(3),
+        fx=intr.fx, fy=intr.fy, width=intr.width, height=intr.height,
+        tan_fovx=intr.tan_fovx, tan_fovy=intr.tan_fovy,
+        mean2d_offset=mean2d_offset,
+        config=cfg.raster,
+    )
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg"))
+def map_chunk(
+    gmap: GaussianMap,
+    adam: AdamState,
+    store: KeyframeStore,
+    window_slots: jax.Array,   # (Vw,) int32 store slots (key_opt order)
+    window_valid: jax.Array,   # (Vw,) bool
+    opt_pose: jax.Array,       # (Vw,) bool — optimize pose of this view
+    rand_pool: jax.Array,      # (R,) int32 candidate slots for replay
+    rand_pool_size: jax.Array,  # () int32
+    pose_adam: PoseAdam,
+    key: jax.Array,
+    num_iters: jax.Array,      # () int32 — dynamic trip count
+    step_after: jax.Array,     # () int32 — map params step when i > step_after
+    xyz_lr_mult: jax.Array,    # () f32 — position LR schedule multiplier
+    intr: Intrinsics,
+    cfg: MappingConfig = MappingConfig(),
+) -> MapChunkResult:
+    proj = intr.proj()
+    vw = cfg.num_window_views
+    vr = cfg.num_random_views
+    cap = gmap.capacity
+    pose_lr = jnp.concatenate(
+        [
+            jnp.full((3,), cfg.lr_trans),
+            jnp.full((3,), cfg.lr_rot),
+            jnp.full((2,), cfg.lr_exposure),
+        ]
+    )
+
+    def body(i, state):
+        gmap, adam, store, pose_adam, _ = state
+        ki = jax.random.fold_in(key, i)
+
+        # --- random replay picks (distinct, from the host-provided pool) ---
+        size = jnp.maximum(rand_pool_size, 1)
+        r1 = jax.random.randint(ki, (), 0, size)
+        r2 = jax.random.randint(jax.random.fold_in(ki, 1), (), 0, jnp.maximum(size - 1, 1))
+        r2 = jnp.where(r2 >= r1, r2 + 1, r2) % size
+        rand_slots = jnp.stack([rand_pool[r1], rand_pool[r2]])
+        rand_valid = jnp.arange(vr) < jnp.minimum(rand_pool_size, vr)
+
+        slots = jnp.concatenate([window_slots, rand_slots])
+        valids = jnp.concatenate([window_valid, rand_valid])
+
+        def loss_fn(params, dtaus, dexps, taps):
+            g = gmap._replace(params=params)
+
+            def view_loss(carry, inp):
+                v, = inp
+                slot = slots[v]
+                tau = dtaus[v]
+                T_v = se3_exp(tau) @ store.T_cw[slot]
+                exp_ab = store.exposure[slot] + dexps[v]
+                image_gt = store.images_u8[slot].astype(jnp.float32) / 255.0
+                depth_gt = store.depths[slot]
+                motion = store.motion[slot]
+                out = _render_view(g, T_v, proj, intr, cfg, mean2d_offset=taps[v])
+                image_ab = apply_exposure(out.color, exp_ab[0], exp_ab[1])
+                l = mapping_loss_rgbd(
+                    image_ab, out.depth, image_gt, depth_gt,
+                    motion_mask=motion,
+                    alpha=cfg.alpha,
+                    rgb_boundary_threshold=cfg.rgb_boundary_threshold,
+                    rm_dynamic=cfg.rm_dynamic,
+                )
+                l = jnp.where(valids[v], l, 0.0)
+                radii_ok = (out.radii > 0) & valids[v]
+                return carry + l, radii_ok
+
+            total, radii_oks = jax.lax.scan(
+                view_loss, 0.0, (jnp.arange(vw + vr),)
+            )
+            total = total + cfg.isotropic_weight * isotropic_loss(
+                jnp.exp(params.scaling), g.alive
+            )
+            return total, radii_oks
+
+        taps = jnp.zeros((vw + vr, cap, 2))
+        dtaus = jnp.zeros((vw + vr, 6))
+        dexps = jnp.zeros((vw + vr, 2))
+        (loss_val, radii_oks), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+        )(gmap.params, dtaus, dexps, taps)
+        g_params, g_taus, g_exps, g_taps = grads
+
+        # --- densification stats (reference :749-760 uses radii>0) ---
+        norms = jnp.linalg.norm(g_taps, axis=-1)              # (V, cap)
+        upd = radii_oks.astype(jnp.float32)                    # (V, cap)
+        gmap = gmap._replace(
+            grad_accum=gmap.grad_accum + jnp.sum(norms * upd, axis=0),
+            denom=gmap.denom + jnp.sum(upd, axis=0),
+        )
+
+        # --- map parameter step, gated by the i>step_after rule ---
+        def do_step(operand):
+            gmap, adam = operand
+            p2, a2 = adam_step(
+                gmap.params, g_params, adam, cfg.lrs, gmap.alive,
+                xyz_lr_mult=xyz_lr_mult,
+            )
+            return gmap._replace(params=p2), a2
+
+        gmap, adam = jax.lax.cond(
+            i > step_after, do_step, lambda o: o, (gmap, adam)
+        )
+
+        # --- pose + exposure step for window views ---
+        gp = jnp.concatenate([g_taus[:vw], g_exps[:vw]], axis=1)  # (Vw, 8)
+        # pose rows masked for non-optimized views; exposure always on
+        # for valid window views with uid != 0 (reference :955-992)
+        uid_ok = (store.uids[window_slots] != 0) & window_valid
+        pose_mask = (opt_pose & uid_ok)[:, None] * jnp.ones((1, 6))
+        exp_mask = uid_ok[:, None] * jnp.ones((1, 2))
+        mask8 = jnp.concatenate([pose_mask, exp_mask], axis=1)
+        gp = gp * mask8
+
+        count = pose_adam.count + 1
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        mu = b1 * pose_adam.mu + (1 - b1) * gp
+        nu = b2 * pose_adam.nu + (1 - b2) * gp * gp
+        t = count.astype(jnp.float32)
+        step = pose_lr[None, :] * (mu / (1 - b1**t)) / (
+            jnp.sqrt(nu / (1 - b2**t)) + eps
+        )
+        upd8 = -step * mask8
+        taus = jnp.concatenate([upd8[:, :3], upd8[:, 3:6]], axis=1)  # (Vw, 6)
+        new_T = jax.vmap(lambda tau, T: se3_exp(tau) @ T)(
+            taus, store.T_cw[window_slots]
+        )
+        new_exp = store.exposure[window_slots] + upd8[:, 6:8]
+        store = store._replace(
+            T_cw=store.T_cw.at[window_slots].set(new_T),
+            exposure=store.exposure.at[window_slots].set(new_exp),
+        )
+        pose_adam = PoseAdam(mu=mu, nu=nu, count=count)
+
+        return (gmap, adam, store, pose_adam, loss_val)
+
+    init = (gmap, adam, store, pose_adam, jnp.asarray(jnp.inf, jnp.float32))
+    gmap, adam, store, pose_adam, loss_val = jax.lax.fori_loop(
+        0, num_iters, body, init
+    )
+    return MapChunkResult(
+        gmap=gmap, adam=adam, store=store, pose_adam=pose_adam, final_loss=loss_val
+    )
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg"))
+def window_visibility(
+    gmap: GaussianMap,
+    store: KeyframeStore,
+    window_slots: jax.Array,
+    window_valid: jax.Array,
+    intr: Intrinsics,
+    cfg: MappingConfig = MappingConfig(),
+) -> jax.Array:
+    """(Vw, capacity) bool — n_touched > 0 per window view at current
+    poses (occ_aware_visibility, reference slam_backend.py:665-668)."""
+    proj = intr.proj()
+    raster = cfg.raster._replace(with_n_touched=True)
+    cfg_nt = cfg._replace(raster=raster)
+
+    def one(args):
+        slot, ok = args
+        out = _render_view(gmap, store.T_cw[slot], proj, intr, cfg_nt)
+        return (out.n_touched > 0) & ok
+
+    # lax.map (sequential) rather than vmap: the Pallas compositor has no
+    # batching rule
+    return jax.lax.map(one, (window_slots, window_valid))
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg"))
+def render_keyframe(
+    gmap: GaussianMap,
+    store: KeyframeStore,
+    slot: jax.Array,
+    intr: Intrinsics,
+    cfg: MappingConfig = MappingConfig(),
+):
+    """Convenience render of one stored keyframe at its current pose."""
+    raster = cfg.raster._replace(with_n_touched=True)
+    return _render_view(
+        gmap, store.T_cw[slot], intr.proj(), intr, cfg._replace(raster=raster)
+    )

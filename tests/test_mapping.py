@@ -1,0 +1,141 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourdgs.geometry import se3_exp
+from fourdgs.models.gaussian_map import (
+    candidates_from_rgbd,
+    empty_map,
+    init_adam,
+    insert,
+)
+from fourdgs.ops.rasterize import RasterConfig
+from fourdgs.ops.image import psnr
+from fourdgs.slam.camera import Intrinsics, make_frame
+from fourdgs.slam.keyframes import empty_store, store_keyframe
+from fourdgs.slam.mapping import (
+    MappingConfig,
+    init_pose_adam,
+    map_chunk,
+    render_keyframe,
+    window_visibility,
+)
+
+INTR = Intrinsics(fx=80.0, fy=80.0, cx=39.5, cy=29.5, width=80, height=60)
+CFG = MappingConfig(
+    num_window_views=2,
+    num_random_views=1,
+    raster=RasterConfig(use_oracle=True),
+)
+
+
+def _gt_scene():
+    """A textured fronto-parallel wall at z=3 plus a slab at z=2."""
+    h, w = INTR.height, INTR.width
+    v, u = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            0.5 + 0.4 * np.sin(u / 5.0),
+            0.5 + 0.4 * np.cos(v / 7.0),
+            0.5 + 0.3 * np.sin((u + v) / 9.0),
+        ]
+    ).astype(np.float32)
+    depth = np.full((h, w), 3.0, np.float32)
+    depth[20:40, 30:60] = 2.0
+    return jnp.asarray(img), jnp.asarray(depth)
+
+
+def _poses():
+    taus = [
+        np.zeros(6),
+        np.array([0.05, 0.0, 0.0, 0.0, 0.02, 0.0]),
+        np.array([-0.05, 0.02, 0.0, 0.0, -0.02, 0.01]),
+    ]
+    return [np.asarray(se3_exp(jnp.asarray(t, jnp.float32))) for t in taus]
+
+
+def _setup():
+    img, depth = _gt_scene()
+    # Single RGB-D observation defines the "GT" for all views by warping
+    # is complex; instead use the same image/depth for the anchor view and
+    # initialize the map from it.
+    gmap = empty_map(2048)
+    adam = init_adam(2048)
+    cands = candidates_from_rgbd(
+        jax.random.key(0), img, depth, jnp.eye(4),
+        INTR.fx, INTR.fy, INTR.cx, INTR.cy,
+        downsample=3, max_new=2048,
+    )
+    gmap, adam, n = insert(gmap, adam, cands, kf_id=0)
+    assert int(n) > 800
+    store = empty_store(8, INTR.height, INTR.width)
+    frame = make_frame(0, img, depth, jnp.eye(4), time=0.0)
+    store = store_keyframe(store, 0, frame, jnp.eye(4), jnp.zeros(2))
+    return gmap, adam, store, img, depth
+
+
+def test_map_chunk_reduces_loss_and_improves_psnr():
+    gmap, adam, store, img, depth = _setup()
+    window_slots = jnp.array([0, 0], jnp.int32)
+    window_valid = jnp.array([True, False])
+    opt_pose = jnp.array([False, False])
+    rand_pool = jnp.zeros(8, jnp.int32)
+
+    out0 = render_keyframe(gmap, store, jnp.int32(0), INTR, CFG)
+    psnr0 = float(psnr(out0.color, img))
+
+    res = map_chunk(
+        gmap, adam, store, window_slots, window_valid, opt_pose,
+        rand_pool, jnp.int32(0), init_pose_adam(2), jax.random.key(1),
+        jnp.int32(40), jnp.int32(-1), jnp.float32(1.0), INTR, CFG,
+    )
+    out1 = render_keyframe(res.gmap, res.store, jnp.int32(0), INTR, CFG)
+    psnr1 = float(psnr(out1.color, img))
+    assert np.isfinite(float(res.final_loss))
+    assert psnr1 > psnr0 + 3.0, (psnr0, psnr1)
+    # depth should move toward GT where confidently rendered (40 iters of
+    # a fresh map: coarse agreement, tight fit needs the full schedule)
+    d = np.asarray(out1.depth)
+    gt = np.asarray(depth)
+    a = np.asarray(out1.alpha)
+    conf = a > min(0.6, float(np.quantile(a, 0.9)))
+    err = np.abs(d - gt)[conf]
+    assert err.size > 0 and np.median(err) < 0.5
+
+
+def test_map_chunk_pose_refinement():
+    """Perturb the stored keyframe pose; with opt_pose on, mapping should
+    pull it back toward the true pose while fitting the map."""
+    gmap, adam, store, img, depth = _setup()
+    tau = jnp.array([0.02, -0.01, 0.01, 0.004, -0.003, 0.002])
+    T_pert = se3_exp(tau) @ jnp.eye(4)
+    # second slot: same observations, perturbed pose estimate, uid != 0
+    frame1 = make_frame(7, img, depth, jnp.eye(4), time=0.1)
+    store = store_keyframe(store, 1, frame1, T_pert, jnp.zeros(2))
+
+    window_slots = jnp.array([0, 1], jnp.int32)
+    window_valid = jnp.array([True, True])
+    opt_pose = jnp.array([False, True])
+    err0 = float(jnp.linalg.norm(store.T_cw[1][:3, 3]))
+
+    res = map_chunk(
+        gmap, adam, store, window_slots, window_valid, opt_pose,
+        jnp.zeros(8, jnp.int32), jnp.int32(0), init_pose_adam(2),
+        jax.random.key(2), jnp.int32(50), jnp.int32(-1), jnp.float32(1.0),
+        INTR, CFG,
+    )
+    err1 = float(jnp.linalg.norm(res.store.T_cw[1][:3, 3]))
+    assert err1 < err0, (err0, err1)
+    # slot 0 pose must be untouched (opt_pose False)
+    np.testing.assert_allclose(np.asarray(res.store.T_cw[0]), np.eye(4), atol=1e-6)
+
+
+def test_window_visibility():
+    gmap, adam, store, img, depth = _setup()
+    vis = window_visibility(
+        gmap, store,
+        jnp.array([0, 0], jnp.int32), jnp.array([True, False]), INTR, CFG,
+    )
+    assert vis.shape == (2, gmap.capacity)
+    assert int(jnp.sum(vis[0])) > 100
+    assert int(jnp.sum(vis[1])) == 0
