@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Benchmark: tracking+mapping throughput on one TPU chip.
+
+Runs the full SLAM pipeline (tracking + keyframe mapping + densification)
+on a synthetic 640x480 RGB-D sequence (no dataset downloads are possible
+in this container; the synthetic room is rendered by this repo's own
+rasterizer at TUM fr3 intrinsics, so the workload matches BASELINE
+config #1's shape) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N}
+
+vs_baseline is measured FPS / 30 (the driver's north-star: >= 30 FPS
+tracking+mapping on one v5e; the CUDA reference itself runs well under
+1 FPS on TUM dynamic sequences).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main():
+    import jax
+
+    from fourdgs.ops.rasterize import RasterConfig
+    from fourdgs.slam.runner import SLAM
+    from fourdgs.utils.config import ConfigDict
+
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    warmup = 11  # past the first keyframe cycle: all jits compiled
+
+    w, h = 640, 480
+    config = ConfigDict.wrap(
+        {
+            "Results": {"save_results": False, "use_gui": False},
+            "Dataset": {
+                "type": "synthetic",
+                "sensor_type": "depth",
+                "dataset_path": "",
+                "num_frames": n_frames,
+                "points_per_wall": 6000,
+                "pcd_downsample": 128,
+                "pcd_downsample_init": 32,
+                "adaptive_pointsize": True,
+                "point_size": 0.01,
+                "Calibration": {
+                    "fx": 535.4, "fy": 539.2, "cx": 320.1, "cy": 247.6,
+                    "width": w, "height": h, "depth_scale": 1.0,
+                    "distorted": False,
+                },
+            },
+            "Training": {
+                "init_itr_num": 1050,
+                "init_gaussian_update": 100,
+                "init_gaussian_reset": 500,
+                "init_gaussian_th": 0.005,
+                "init_gaussian_extent": 30,
+                "tracking_itr_num": 100,
+                "mapping_itr_num": 50,
+                "keyframe_mapping_iters": 200,
+                "gaussian_update_every": 150,
+                "gaussian_update_offset": 50,
+                "gaussian_th": 0.7,
+                "gaussian_extent": 1.0,
+                "gaussian_reset": 2001,
+                "size_threshold": 20,
+                "kf_interval": 5,
+                "window_size": 8,
+                "pose_window": 3,
+                "edge_threshold": 1.1,
+                "rgb_boundary_threshold": 0.01,
+                "alpha": 0.9,
+                "kf_translation": 0.08,
+                "kf_min_translation": 0.05,
+                "kf_overlap": 0.9,
+                "kf_cutoff": 0.3,
+                "single_thread": True,
+                "monocular": False,
+                "lr": {"cam_rot_delta": 0.003, "cam_trans_delta": 0.001},
+            },
+            "opt_params": {"densify_grad_threshold": 0.0002},
+            "model_params": {"sh_degree": 0, "dynamic_model": False},
+        }
+    )
+
+    slam = SLAM(config, capacity=1 << 17, max_keyframes=64)
+    metrics = slam.run(warmup_frames=warmup)
+    fps = metrics.get("fps_steady", metrics["fps"])
+    print(
+        json.dumps(
+            {
+                "metric": "tracking+mapping FPS (synthetic 640x480 RGB-D, "
+                "TUM fr3 intrinsics, full SLAM loop, steady-state)",
+                "value": round(float(fps), 4),
+                "unit": "fps",
+                "vs_baseline": round(float(fps) / 30.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

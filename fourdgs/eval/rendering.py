@@ -1,0 +1,90 @@
+"""Rendering-quality evaluation over all frames.
+
+Counterpart of reference eval_rendering (utils/eval_utils.py:300-428):
+PSNR (masked to the union of valid pixels / static pixels in static
+mode), SSIM, LPIPS and L1 depth, averaged over evaluated frames, dumped
+to final_result.json. LPIPS needs pretrained AlexNet features which this
+zero-egress image cannot fetch; when the torchmetrics checkpoint is
+unavailable the field is reported as None (documented deviation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from fourdgs.ops.image import psnr, ssim
+
+
+_LPIPS = None
+
+
+def _lpips_fn():
+    """Best-effort LPIPS(alex). Returns None if weights are unavailable."""
+    global _LPIPS
+    if _LPIPS is not None:
+        return _LPIPS if _LPIPS != "unavailable" else None
+    try:
+        import torch
+        from torchmetrics.image.lpips import LearnedPerceptualImagePatchSimilarity
+
+        metric = LearnedPerceptualImagePatchSimilarity(
+            net_type="alex", normalize=True
+        )
+
+        def fn(a: np.ndarray, b: np.ndarray) -> float:
+            ta = torch.from_numpy(a[None]).float()
+            tb = torch.from_numpy(b[None]).float()
+            return float(metric(ta.clamp(0, 1), tb.clamp(0, 1)))
+
+        _LPIPS = fn
+        return fn
+    except Exception:
+        _LPIPS = "unavailable"
+        return None
+
+
+def eval_rendering(
+    render_fn,
+    dataset,
+    frame_ids: list[int],
+    save_dir: str,
+    label: str = "final",
+    mask_dynamic: bool = False,
+    interval: int = 1,
+) -> dict:
+    """render_fn(idx) -> (image (3,H,W), depth (H,W)) jnp arrays at the
+    estimated pose for dataset frame idx."""
+    psnrs, ssims, lpipss, l1ds = [], [], [], []
+    lpips = _lpips_fn()
+    for idx in frame_ids[::interval]:
+        gt_image, gt_depth, _, motion_mask = dataset[idx]
+        img, depth = render_fn(idx)
+        gt_image = jnp.asarray(gt_image)
+        mask = jnp.asarray(gt_image).sum(axis=0) > 0.01
+        if mask_dynamic:
+            mask = mask & jnp.asarray(motion_mask)
+        psnrs.append(float(psnr(jnp.clip(img, 0, 1), gt_image, mask)))
+        ssims.append(float(ssim(jnp.clip(img, 0, 1), gt_image)))
+        if lpips is not None:
+            lpipss.append(lpips(np.clip(np.asarray(img), 0, 1), np.asarray(gt_image)))
+        if gt_depth is not None:
+            gtd = jnp.asarray(gt_depth)
+            valid = (gtd > 0.01) & jnp.asarray(motion_mask)
+            l1 = jnp.sum(jnp.abs(depth - gtd) * valid) / jnp.maximum(jnp.sum(valid), 1)
+            l1ds.append(float(l1))
+
+    out = {
+        "mean_psnr": float(np.mean(psnrs)) if psnrs else None,
+        "mean_ssim": float(np.mean(ssims)) if ssims else None,
+        "mean_lpips": float(np.mean(lpipss)) if lpipss else None,
+        "mean_l1_depth": float(np.mean(l1ds)) if l1ds else None,
+        "frames": len(psnrs),
+    }
+    os.makedirs(os.path.join(save_dir, "psnr", label), exist_ok=True)
+    with open(os.path.join(save_dir, "psnr", label, "final_result.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    return out

@@ -445,7 +445,7 @@ def insert_raw(gmap, adam, new: NewGaussians, kf_src: jax.Array, dy_src: jax.Arr
     return gmap2, adam2, jnp.sum(take)
 
 
-@partial(jax.jit, static_argnames=("max_new", "downsample"))
+@partial(jax.jit, static_argnames=("max_new", "downsample", "adaptive_pointsize"))
 def candidates_from_rgbd(
     key: jax.Array,
     image: jax.Array,        # (3, H, W)

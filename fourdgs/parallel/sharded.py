@@ -1,0 +1,157 @@
+"""Sharded multi-chip training/eval steps (shard_map over a device mesh).
+
+Two shardings compose here:
+  - DATA parallelism over mapping views / eval cameras: each chip renders
+    its view shard and gradients are `psum`'d over ICI,
+  - ZeRO-style sharding of the Gaussian state along the capacity axis:
+    parameters and Adam moments live sharded; each step all-gathers the
+    parameters for rendering and reduce-scatters (`psum_scatter`) the
+    gradients back to the local shard before the optimizer update.
+
+This is the TPU-native replacement for "more GPUs" that the reference's
+torch.multiprocessing design cannot express (SURVEY §2.3). Validated on
+a virtual 8-device CPU mesh in tests and by the driver's
+dryrun_multichip hook.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from fourdgs.models.gaussian_map import GaussianMap, GaussianParams, MapLRs
+from fourdgs.ops.rasterize import RasterConfig, rasterize
+from fourdgs.slam.camera import Intrinsics
+from fourdgs.slam.losses import mapping_loss_rgbd
+
+
+def _render(params_full: GaussianParams, alive, T_cw, proj, intr: Intrinsics,
+            raster: RasterConfig):
+    from fourdgs.geometry.quaternion import quat_normalize
+    from fourdgs.geometry.sh import sh0_to_rgb
+
+    return rasterize(
+        params_full.xyz,
+        jnp.exp(params_full.scaling),
+        quat_normalize(params_full.rotation),
+        jax.nn.sigmoid(params_full.opacity)[:, 0],
+        sh0_to_rgb(params_full.f_dc),
+        alive,
+        T_cw, proj, jnp.zeros(3),
+        fx=intr.fx, fy=intr.fy, width=intr.width, height=intr.height,
+        tan_fovx=intr.tan_fovx, tan_fovy=intr.tan_fovy,
+        config=raster,
+    )
+
+
+def sharded_map_step(
+    mesh: Mesh,
+    intr: Intrinsics,
+    raster: RasterConfig = RasterConfig(),
+    lrs: MapLRs = MapLRs(),
+    axis: str = "data",
+):
+    """Build a jitted multi-chip mapping step.
+
+    Returns step(params_sh, mu_sh, nu_sh, alive_sh, count, images, depths,
+    poses) -> (params_sh, mu_sh, nu_sh, count, loss) where *_sh arrays are
+    sharded along the Gaussian capacity axis and images/depths/poses along
+    the view axis."""
+    proj = intr.proj()
+    pspec_g = jax.tree.map(lambda _: P(axis), GaussianParams(*[0] * 5))
+    pspec_views = (P(axis), P(axis), P(axis))
+
+    def step(params_sh, mu_sh, nu_sh, alive_sh, count, images, depths, poses):
+        def shard_fn(params_l, mu_l, nu_l, alive_l, images_l, depths_l, poses_l):
+            # gather full parameters for rendering
+            params_full = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, axis, tiled=True), params_l
+            )
+            alive_full = jax.lax.all_gather(alive_l, axis, tiled=True)
+
+            def loss_fn(pf):
+                def view_loss(carry, inp):
+                    img, dep, T = inp
+                    out = _render(pf, alive_full, T, proj, intr, raster)
+                    l = mapping_loss_rgbd(out.color, out.depth, img, dep)
+                    return carry + l, None
+
+                total, _ = jax.lax.scan(view_loss, 0.0, (images_l, depths_l, poses_l))
+                return total
+
+            loss, grads_full = jax.value_and_grad(loss_fn)(params_full)
+            loss = jax.lax.psum(loss, axis)
+            # reduce-scatter gradients back to this chip's shard
+            grads_l = jax.tree.map(
+                lambda g: jax.lax.psum_scatter(g, axis, scatter_dimension=0, tiled=True),
+                grads_full,
+            )
+            # local masked Adam on the shard
+            b1, b2, eps = 0.9, 0.999, 1e-15
+            t = (count + 1).astype(jnp.float32)
+            lr_map = lrs._asdict()
+            new_p, new_mu, new_nu = {}, {}, {}
+            for name in GaussianParams._fields:
+                p = getattr(params_l, name)
+                g = getattr(grads_l, name)
+                mu = b1 * getattr(mu_l, name) + (1 - b1) * g
+                nu = b2 * getattr(nu_l, name) + (1 - b2) * g * g
+                step_v = lr_map[name] * (mu / (1 - b1**t)) / (
+                    jnp.sqrt(nu / (1 - b2**t)) + eps
+                )
+                m = alive_l.astype(p.dtype).reshape((-1,) + (1,) * (p.ndim - 1))
+                new_p[name] = p - step_v * m
+                new_mu[name] = mu * m
+                new_nu[name] = nu * m
+            return (
+                GaussianParams(**new_p),
+                GaussianParams(**new_mu),
+                GaussianParams(**new_nu),
+                loss,
+            )
+
+        out = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(pspec_g, pspec_g, pspec_g, P(axis)) + pspec_views,
+            out_specs=(pspec_g, pspec_g, pspec_g, P()),
+            check_rep=False,
+        )(params_sh, mu_sh, nu_sh, alive_sh, images, depths, poses)
+        params_sh, mu_sh, nu_sh, loss = out
+        return params_sh, mu_sh, nu_sh, count + 1, loss
+
+    return jax.jit(step)
+
+
+def batch_render_sharded(
+    mesh: Mesh,
+    intr: Intrinsics,
+    raster: RasterConfig = RasterConfig(),
+    axis: str = "data",
+):
+    """Render a batch of cameras with views sharded across the mesh
+    (multi-sequence / multi-view batch evaluation — BASELINE config #5)."""
+    proj = intr.proj()
+
+    def render_batch(params: GaussianParams, alive, poses):
+        def shard_fn(poses_l):
+            def one(carry, T):
+                out = _render(params, alive, T, proj, intr, raster)
+                return carry, (out.color, out.depth, out.alpha)
+
+            _, outs = jax.lax.scan(one, 0, poses_l)
+            return outs
+
+        return shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis),),
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_rep=False,
+        )(poses)
+
+    return jax.jit(render_batch)

@@ -1,0 +1,535 @@
+"""SLAM orchestrator: one process, jitted tracking/mapping programs.
+
+Replaces the reference's frontend/backend/GUI process triple + mp.Queue
+protocol (slam.py:100-150, utils/slam_frontend.py:610-833,
+utils/slam_backend.py:874-1007). The shipped configs all run
+`single_thread: True` — strict frontend/backend alternation — so a
+single host loop alternating jitted `track_frame` and `map_chunk`
+programs is behavior-preserving and removes every serialization/deep-copy
+(clone_obj) from the pipeline: the map lives in HBM and both programs
+read/write it functionally.
+
+Per-frame flow (mirroring the reference's frontend run loop):
+  frame 0: pose <- GT, spawn Gaussians from RGB-D, 1050-iteration map
+           init with densify-every-100 + opacity reset at 500
+           (initialize_map, slam_backend.py:238-297),
+  else:    track -> keyframe test (translation/covisibility + forced
+           every kf_interval) -> on keyframe: spawn Gaussians on
+           uncovered pixels, window update, mapping chunks with
+           densify/reset cadence + prune pass, pose resync.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourdgs.models import gaussian_map as gm
+from fourdgs.ops.rasterize import RasterConfig
+from fourdgs.slam import keyframes as kfs
+from fourdgs.slam.camera import Frame, Intrinsics
+from fourdgs.slam.losses import median_depth
+from fourdgs.slam.mapping import (
+    MappingConfig,
+    init_pose_adam,
+    map_chunk,
+    render_keyframe,
+    window_visibility,
+)
+from fourdgs.slam.tracking import TrackingConfig, track_frame
+from fourdgs.utils.logging import Log
+
+
+class SLAM:
+    def __init__(
+        self,
+        config,
+        save_dir: str | None = None,
+        save_interval: int = 50,
+        dynamic: bool = False,
+        max_frames: int | None = None,
+        capacity: int = 1 << 17,
+        max_keyframes: int = 512,
+        raster: RasterConfig | None = None,
+    ):
+        from fourdgs.data import load_dataset
+
+        self.config = config
+        self.save_dir = save_dir
+        self.save_interval = save_interval
+        self.dynamic = dynamic
+        tr = config["Training"]
+        self.kf_interval = int(tr.get("kf_interval", 5))
+        self.window_size = int(tr.get("window_size", 8))
+        self.pose_window = int(tr.get("pose_window", 3))
+        self.kf_translation = float(tr.get("kf_translation", 0.08))
+        self.kf_min_translation = float(tr.get("kf_min_translation", 0.05))
+        self.kf_overlap = float(tr.get("kf_overlap", 0.9))
+        self.kf_cutoff = float(tr.get("kf_cutoff", 0.3))
+        self.alpha = float(tr.get("alpha", 0.95))
+        self.mapping_itr_num = int(tr.get("mapping_itr_num", 50))
+        self.init_itr_num = int(tr.get("init_itr_num", 1050))
+        self.init_gaussian_update = int(tr.get("init_gaussian_update", 100))
+        self.init_gaussian_reset = int(tr.get("init_gaussian_reset", 500))
+        self.init_gaussian_th = float(tr.get("init_gaussian_th", 0.005))
+        self.init_gaussian_extent = float(tr.get("init_gaussian_extent", 30))
+        self.gaussian_update_every = int(tr.get("gaussian_update_every", 150))
+        self.gaussian_update_offset = int(tr.get("gaussian_update_offset", 50))
+        self.gaussian_th = float(tr.get("gaussian_th", 0.7))
+        self.gaussian_extent = float(tr.get("gaussian_extent", 1.0))
+        self.gaussian_reset = int(tr.get("gaussian_reset", 2001))
+        self.size_threshold = float(tr.get("size_threshold", 20))
+        self.tracking_itr_num = int(tr.get("tracking_itr_num", 100))
+        self.kf_iters = int(tr.get("keyframe_mapping_iters", 200))
+        self.dystart = int(tr.get("dystart", 0))
+        op = config.get("opt_params", {})
+        self.densify_grad_threshold = float(op.get("densify_grad_threshold", 2e-4))
+        ds = config["Dataset"]
+
+        self.intr = Intrinsics.from_config(config)
+        self.dataset = load_dataset(None, ds.get("dataset_path", ""), config)
+        n_frames = len(self.dataset)
+        if max_frames is not None:
+            n_frames = min(n_frames, max_frames)
+        self.n_frames = n_frames
+
+        self.raster = raster or RasterConfig()
+        self.track_cfg = TrackingConfig(
+            max_iters=self.tracking_itr_num,
+            lr_rot=float(tr["lr"]["cam_rot_delta"]),
+            lr_trans=float(tr["lr"]["cam_trans_delta"]),
+            alpha=self.alpha,
+            raster=self.raster._replace(with_n_touched=False),
+        )
+        self.map_cfg = MappingConfig(
+            num_window_views=self.window_size,
+            pose_window=self.pose_window,
+            alpha=self.alpha,
+            lr_rot=float(tr["lr"]["cam_rot_delta"]) * 0.5,
+            lr_trans=float(tr["lr"]["cam_trans_delta"]) * 0.5,
+            rm_dynamic=True,
+            raster=self.raster._replace(with_n_touched=False),
+        )
+
+        self.gmap = gm.empty_map(capacity)
+        self.adam = gm.init_adam(capacity)
+        self.store = kfs.empty_store(max_keyframes, self.intr.height, self.intr.width)
+        self.key = jax.random.key(0)
+
+        # host bookkeeping
+        self.poses_est: dict[int, np.ndarray] = {}
+        self.exposures: dict[int, np.ndarray] = {}
+        self.kf_slot: dict[int, int] = {}
+        self.occ_visibility: dict[int, np.ndarray] = {}
+        self.window: list[int] = []
+        self.kf_indices: list[int] = []
+        self.iteration_count = 0
+        self.median_depth = 2.0
+        self.rng = np.random.default_rng(0)
+        self.initialized = False
+        self.metrics: dict = {}
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _spawn_gaussians(self, frame: Frame, T_cw, exposure, init: bool):
+        """add_new_keyframe + extend_from_pcd_seq (reference
+        slam_frontend.py:127-185, gaussian_model.py:354-362): back-project
+        the keyframe depth (dynamic + invalid-RGB pixels zeroed) into new
+        Gaussians."""
+        ds = self.config["Dataset"]
+        downs = int(ds.get("pcd_downsample_init" if init else "pcd_downsample", 32 if init else 128))
+        valid_rgb = np.asarray(jnp.sum(frame.image, axis=0)) > 0.01
+        depth = np.asarray(frame.depth) * valid_rgb
+        depth = depth * np.asarray(frame.motion_mask)  # dynamic_model path
+        cands = gm.candidates_from_rgbd(
+            self._next_key(),
+            frame.image,
+            jnp.asarray(depth),
+            T_cw,
+            self.intr.fx, self.intr.fy, self.intr.cx, self.intr.cy,
+            downsample=downs,
+            point_size=float(ds.get("point_size", 0.01)),
+            adaptive_pointsize=bool(ds.get("adaptive_pointsize", True)),
+            exposure_a=exposure[0],
+            exposure_b=exposure[1],
+        )
+        self.gmap, self.adam, n = gm.insert(
+            self.gmap, self.adam, cands, kf_id=int(frame.uid), dygs=False
+        )
+        return int(n)
+
+    def _window_arrays(self):
+        """Device arrays describing the current mapping view set:
+        window[:3] + covisibility picks (key_opt, slam_backend.py:310-314)."""
+        vw = self.map_cfg.num_window_views
+        key_opt = list(self.window[:3])
+        if len(self.window) > 3:
+            anchor = self.window[0]
+            picks = kfs.keyframe_selection_overlap(
+                np.asarray(self.store.depths[self.kf_slot[anchor]]),
+                self.poses_est[anchor],
+                self.intr,
+                {k: self.poses_est[k] for k in self.kf_indices},
+                before_uid=self.window[2],
+                max_selected=self.window_size - self.pose_window,
+                rng=self.rng,
+            )
+            key_opt += [int(p) for p in picks if int(p) not in key_opt]
+        key_opt = key_opt[:vw]
+
+        slots = np.zeros(vw, np.int32)
+        valid = np.zeros(vw, bool)
+        opt_pose = np.zeros(vw, bool)
+        for i, kf in enumerate(key_opt):
+            slots[i] = self.kf_slot[kf]
+            valid[i] = True
+            opt_pose[i] = i < self.pose_window
+        pool = [self.kf_slot[k] for k in self.kf_indices if k not in key_opt]
+        pool_arr = np.zeros(max(len(pool), 1), np.int32)
+        pool_arr[: len(pool)] = pool
+        # pad pool to a stable power-of-two length to avoid recompiles
+        padded = 1 << max(3, int(np.ceil(np.log2(max(len(pool), 1)))))
+        pool_full = np.zeros(padded, np.int32)
+        pool_full[: len(pool)] = pool
+        return (
+            jnp.asarray(slots), jnp.asarray(valid), jnp.asarray(opt_pose),
+            jnp.asarray(pool_full), jnp.int32(len(pool)), key_opt,
+        )
+
+    def _run_mapping(self, total_iters: int, step_after: int, prune: bool,
+                     densify: bool = True, min_opacity: float | None = None,
+                     extent: float | None = None, size_th: float | None = None,
+                     reset_cadence: bool = True):
+        """Run `total_iters` mapping iterations, breaking at the
+        densify/reset cadence boundaries the reference hits inside its
+        loop (slam_backend.py:723-745)."""
+        slots, valid, opt_pose, pool, pool_size, key_opt = self._window_arrays()
+        pose_adam = init_pose_adam(self.map_cfg.num_window_views)
+        min_op = self.gaussian_th if min_opacity is None else min_opacity
+        ext = self.gaussian_extent if extent is None else extent
+        sth = self.size_threshold if size_th is None else size_th
+
+        done = 0
+        while done < total_iters:
+            # break at the next densify-cadence boundary (the reference's
+            # in-loop `iteration_count % update_every == offset` check,
+            # :723-726; only iterations past step_after advance
+            # iteration_count, :337-338)
+            if densify:
+                per = self.gaussian_update_every
+                to_boundary = per - (self.iteration_count % per)
+            else:
+                to_boundary = total_iters
+            chunk = int(min(total_iters - done, max(1, to_boundary)))
+
+            res = map_chunk(
+                self.gmap, self.adam, self.store,
+                slots, valid, opt_pose, pool, pool_size, pose_adam,
+                self._next_key(),
+                jnp.int32(chunk), jnp.int32(step_after - done),
+                jnp.float32(1.0),
+                self.intr, self.map_cfg,
+            )
+            self.gmap, self.adam, self.store, pose_adam = (
+                res.gmap, res.adam, res.store, res.pose_adam
+            )
+            prev = done
+            done += chunk
+            if step_after < 0:
+                self.iteration_count += chunk
+            else:
+                self.iteration_count += max(0, done - max(prev, step_after + 1))
+
+            if densify and (
+                self.iteration_count % self.gaussian_update_every
+            ) < 1 and self.iteration_count > 0:
+                self.gmap, self.adam = gm.densify_and_prune(
+                    self.gmap, self.adam, self._next_key(),
+                    self.densify_grad_threshold, min_op, ext, sth,
+                )
+            elif reset_cadence and self.iteration_count > 0 and (
+                self.iteration_count % self.gaussian_reset
+            ) < 1:
+                vis = window_visibility(
+                    self.gmap, self.store, slots, valid, self.intr, self.map_cfg
+                )
+                any_vis = jnp.any(vis, axis=0)
+                self.gmap, self.adam = gm.reset_opacity_nonvisible(
+                    self.gmap, self.adam, any_vis
+                )
+
+        # occ-aware visibility for the window (reference :665-668) + pose
+        # resync for optimized keyframes
+        vw_slots = np.zeros(self.map_cfg.num_window_views, np.int32)
+        vw_valid = np.zeros(self.map_cfg.num_window_views, bool)
+        for i, kf in enumerate(self.window[: self.map_cfg.num_window_views]):
+            vw_slots[i] = self.kf_slot[kf]
+            vw_valid[i] = True
+        vis = np.asarray(
+            window_visibility(
+                self.gmap, self.store, jnp.asarray(vw_slots),
+                jnp.asarray(vw_valid), self.intr, self.map_cfg,
+            )
+        )
+        for i, kf in enumerate(self.window[: self.map_cfg.num_window_views]):
+            self.occ_visibility[kf] = vis[i]
+        for kf in key_opt:
+            slot = self.kf_slot[kf]
+            self.poses_est[kf] = np.asarray(self.store.T_cw[slot])
+            self.exposures[kf] = np.asarray(self.store.exposure[slot])
+
+        if prune and len(self.window) == self.window_size:
+            # prune pass (reference :700-721): RGB-D mode only marks
+            # initialization complete; monocular would prune
+            self.initialized = True
+
+    def _initialize(self, frame: Frame):
+        T_gt = np.asarray(frame.T_gt)
+        self.poses_est[0] = T_gt
+        self.exposures[0] = np.zeros(2)
+        self.store = kfs.store_keyframe(
+            self.store, 0, frame, jnp.asarray(T_gt), jnp.zeros(2)
+        )
+        self.kf_slot[0] = 0
+        self.kf_indices = [0]
+        self.window = [0]
+        n = self._spawn_gaussians(frame, jnp.asarray(T_gt, jnp.float32), np.zeros(2), init=True)
+        Log(f"Init: spawned {n} Gaussians", tag="4DGS-SLAM")
+
+        # initialize_map: init_itr_num iterations, densify every
+        # init_gaussian_update, opacity reset at init_gaussian_reset
+        done = 0
+        slots = jnp.asarray(np.array([0] + [0] * (self.map_cfg.num_window_views - 1), np.int32))
+        valid = jnp.asarray(np.array([True] + [False] * (self.map_cfg.num_window_views - 1)))
+        opt_pose = jnp.zeros(self.map_cfg.num_window_views, bool)
+        pool = jnp.zeros(8, jnp.int32)
+        pose_adam = init_pose_adam(self.map_cfg.num_window_views)
+        while done < self.init_itr_num:
+            boundary = self.init_gaussian_update - (done % self.init_gaussian_update)
+            to_reset = self.init_gaussian_reset - done
+            chunk = int(min(self.init_itr_num - done, boundary, to_reset if to_reset > 0 else 1 << 30))
+            res = map_chunk(
+                self.gmap, self.adam, self.store, slots, valid, opt_pose,
+                pool, jnp.int32(0), pose_adam, self._next_key(),
+                jnp.int32(chunk), jnp.int32(-1), jnp.float32(1.0),
+                self.intr, self.map_cfg,
+            )
+            self.gmap, self.adam, self.store, pose_adam = (
+                res.gmap, res.adam, res.store, res.pose_adam
+            )
+            done += chunk
+            self.iteration_count += chunk
+            if done % self.init_gaussian_update == 0 and done < self.init_itr_num:
+                self.gmap, self.adam = gm.densify_and_prune(
+                    self.gmap, self.adam, self._next_key(),
+                    self.densify_grad_threshold, self.init_gaussian_th,
+                    self.init_gaussian_extent, 0.0,
+                )
+            if done == self.init_gaussian_reset:
+                self.gmap, self.adam = gm.reset_opacity(self.gmap, self.adam)
+
+        out = render_keyframe(self.gmap, self.store, jnp.int32(0), self.intr, self.map_cfg)
+        self.occ_visibility[0] = np.asarray(out.n_touched > 0)
+        self.median_depth = float(median_depth(out.depth, out.alpha)[0])
+        Log(
+            f"Initialized map: {int(self.gmap.num_alive)} Gaussians, "
+            f"final loss {float(res.final_loss):.4f}", tag="4DGS-SLAM",
+        )
+
+    def _handle_keyframe(self, idx: int, frame: Frame, curr_visibility: np.ndarray):
+        slot = len(self.kf_indices) % self.store.capacity
+        self.kf_slot[idx] = slot
+        self.kf_indices.append(idx)
+        self.store = kfs.store_keyframe(
+            self.store, slot, frame,
+            jnp.asarray(self.poses_est[idx], jnp.float32),
+            jnp.asarray(self.exposures[idx], jnp.float32),
+        )
+        self.occ_visibility[idx] = curr_visibility
+        self.window, removed = kfs.add_to_window(
+            idx, curr_visibility, self.occ_visibility, self.window,
+            self.poses_est, self.kf_cutoff, self.window_size,
+            initialized=self.initialized,
+        )
+        self._spawn_gaussians(
+            frame, jnp.asarray(self.poses_est[idx], jnp.float32),
+            self.exposures[idx], init=False,
+        )
+        iter_per_kf = self.kf_iters
+        step_after = 100 if iter_per_kf > 100 else -1
+        if not self.initialized:
+            if len(self.window) == self.window_size:
+                iter_per_kf = 300
+                step_after = -1
+                Log("Performing initial BA for initialization", tag="Backend")
+            else:
+                iter_per_kf = self.mapping_itr_num
+                step_after = -1
+        self._run_mapping(iter_per_kf, step_after, prune=True)
+
+    def run(self, warmup_frames: int = 0) -> dict:
+        """Process the sequence. `warmup_frames` excludes the first N
+        frames from the FPS clock (XLA compiles amortize to zero over a
+        full sequence but dominate micro-runs; the reference's CUDA
+        kernels are precompiled so this keeps the comparison fair)."""
+        from fourdgs.data.prefetch import FramePrefetcher
+
+        tr = self.config["Training"]
+        t0 = time.time()
+        t_warm = t0
+        prefetcher = FramePrefetcher(
+            self.dataset, edge_threshold=float(tr.get("edge_threshold", 1.1)),
+            end=self.n_frames,
+        )
+        last_kf = 0
+        for idx, frame, pose_gt in prefetcher:
+            if idx == warmup_frames:
+                jax.block_until_ready(self.gmap.params.xyz)
+                t_warm = time.time()
+            if idx == 0:
+                self._initialize(frame)
+                last_kf = 0
+                continue
+
+            self.initialized = self.initialized or len(self.window) == self.window_size
+            T_init = jnp.asarray(self.poses_est[idx - 1], jnp.float32)
+            exp_init = jnp.asarray(self.exposures.get(idx - 1, np.zeros(2)), jnp.float32)
+            res = track_frame(
+                self.gmap, frame, T_init, exp_init, self.intr, self.track_cfg,
+            )
+            self.poses_est[idx] = np.asarray(res.T_cw)
+            self.exposures[idx] = np.asarray(res.exposure)
+            self.median_depth = float(res.median_depth)
+
+            check_time = (idx - last_kf) >= self.kf_interval
+            if not check_time:
+                continue
+
+            # visibility at the tracked pose (needs n_touched)
+            out = render_keyframe(
+                self.gmap,
+                self.store._replace(
+                    T_cw=self.store.T_cw.at[self.store.capacity - 1].set(res.T_cw)
+                ),
+                jnp.int32(self.store.capacity - 1),
+                self.intr, self.map_cfg,
+            )
+            curr_visibility = np.asarray(out.n_touched > 0)
+            create_kf = kfs.is_keyframe(
+                self.poses_est[idx], self.poses_est[last_kf], self.median_depth,
+                curr_visibility, self.occ_visibility[last_kf],
+                self.kf_translation, self.kf_min_translation, self.kf_overlap,
+            )
+            if len(self.window) < self.window_size:
+                union = np.count_nonzero(curr_visibility | self.occ_visibility[last_kf])
+                inter = np.count_nonzero(curr_visibility & self.occ_visibility[last_kf])
+                ratio = inter / union if union else 0.0
+                create_kf = check_time and ratio < self.kf_overlap
+            create_kf = check_time and (create_kf or (idx - last_kf) >= 5)
+
+            if create_kf:
+                self._handle_keyframe(idx, frame, curr_visibility)
+                last_kf = idx
+                Log(
+                    f"KF {idx}: {int(self.gmap.num_alive)} gaussians, "
+                    f"window {self.window}", tag="Backend",
+                )
+
+        jax.block_until_ready(self.gmap.params.xyz)
+        elapsed = time.time() - t0
+        fps = self.n_frames / elapsed
+        Log(f"Total FPS: {fps:.3f} ({self.n_frames} frames / {elapsed:.1f}s)")
+        self.metrics["fps"] = fps
+        if warmup_frames > 0 and self.n_frames > warmup_frames:
+            steady = (self.n_frames - warmup_frames) / (time.time() - t_warm)
+            self.metrics["fps_steady"] = steady
+            Log(f"Steady-state FPS (after {warmup_frames} warmup frames): {steady:.3f}")
+        self.metrics["n_frames"] = self.n_frames
+        self.metrics["n_gaussians"] = int(self.gmap.num_alive)
+        return self.metrics
+
+    # ------------------------------------------------------------------
+    def color_refinement(self, iterations: int = 1500):
+        """Global refinement over random keyframes (reference
+        slam_backend.py:777-858, simplified to the same mapping objective;
+        10 random keyframes per iteration via the replay mechanism)."""
+        vw = self.map_cfg.num_window_views
+        slots = np.zeros(vw, np.int32)
+        valid = np.zeros(vw, bool)
+        kfl = self.kf_indices[:vw]
+        for i, kf in enumerate(kfl):
+            slots[i] = self.kf_slot[kf]
+            valid[i] = True
+        pool = np.asarray([self.kf_slot[k] for k in self.kf_indices], np.int32)
+        padded = 1 << max(3, int(np.ceil(np.log2(max(len(pool), 1)))))
+        pool_full = np.zeros(padded, np.int32)
+        pool_full[: len(pool)] = pool
+        res = map_chunk(
+            self.gmap, self.adam, self.store,
+            jnp.asarray(slots), jnp.asarray(valid), jnp.zeros(vw, bool),
+            jnp.asarray(pool_full), jnp.int32(len(pool)),
+            init_pose_adam(vw), self._next_key(),
+            jnp.int32(iterations), jnp.int32(-1), jnp.float32(1.0),
+            self.intr, self.map_cfg,
+        )
+        self.gmap, self.adam, self.store = res.gmap, res.adam, res.store
+
+    def eval_ate(self, label: str = "final") -> dict:
+        from fourdgs.eval.ate import save_trajectory
+
+        ids = sorted(self.poses_est.keys())
+        est = [self.poses_est[i] for i in ids]
+        gt = [np.asarray(self.dataset.poses[i]) for i in ids]
+        if self.save_dir:
+            return save_trajectory(est, gt, ids, self.save_dir, label)
+        from fourdgs.eval.ate import evaluate_ate
+
+        return evaluate_ate(est, gt)
+
+    def eval_rendering(self, label: str = "final", interval: int | None = None) -> dict:
+        from fourdgs.eval.rendering import eval_rendering as _er
+        from fourdgs.ops.rasterize import rasterize
+
+        proj = self.intr.proj()
+
+        def render_at(idx):
+            T = jnp.asarray(self.poses_est[idx], jnp.float32)
+            out = rasterize(
+                self.gmap.params.xyz, self.gmap.get_scaling,
+                self.gmap.get_rotation, self.gmap.get_opacity,
+                self.gmap.get_color, self.gmap.alive, T, proj, jnp.zeros(3),
+                fx=self.intr.fx, fy=self.intr.fy,
+                width=self.intr.width, height=self.intr.height,
+                tan_fovx=self.intr.tan_fovx, tan_fovy=self.intr.tan_fovy,
+                config=self.raster._replace(with_n_touched=False),
+            )
+            return out.color, out.depth
+
+        ids = [i for i in sorted(self.poses_est.keys())]
+        return _er(
+            render_at, self.dataset, ids,
+            self.save_dir or "/tmp/fourdgs_eval", label,
+            mask_dynamic=not self.dynamic,
+            interval=interval or 1,
+        )
+
+    def save(self, label: str = "final"):
+        if not self.save_dir:
+            return
+        from fourdgs.io.ply import save_gaussians_ply
+
+        os.makedirs(os.path.join(self.save_dir, "point_cloud", label), exist_ok=True)
+        save_gaussians_ply(
+            self.gmap,
+            os.path.join(self.save_dir, "point_cloud", label, "point_cloud.ply"),
+        )
+        with open(os.path.join(self.save_dir, "final_result.json"), "w") as f:
+            json.dump(self.metrics, f, indent=2)

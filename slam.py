@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""4DGS-SLAM (TPU) command-line entry point.
+
+CLI-compatible with the reference slam.py:252-312:
+
+    python slam.py --config configs/rgbd/tum/fr3_sitting_static.yaml \
+        [--eval] [--dynamic] [--interval N] [--max-frames N]
+
+--eval forces save_results + rendering evaluation and disables the GUI
+(reference slam.py:268-278); results land in
+<save_dir>/<config-name>_<timestamp>/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+import yaml
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="4DGS-SLAM (TPU-native)")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--eval", action="store_true")
+    parser.add_argument("--dynamic", action="store_true")
+    parser.add_argument("--interval", type=int, default=50)
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--capacity", type=int, default=1 << 17)
+    args = parser.parse_args(argv)
+
+    from fourdgs.utils.config import load_config
+    from fourdgs.utils.logging import Log
+
+    config = load_config(args.config)
+    if args.eval:
+        Log("Running MonoGS-style evaluation mode")
+        config["Results"]["save_results"] = True
+        config["Results"]["use_gui"] = False
+        config["Results"]["eval_rendering"] = True
+
+    save_dir = None
+    if config["Results"].get("save_results", False):
+        stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
+        name = os.path.splitext(os.path.basename(args.config))[0]
+        save_dir = os.path.join(config["Results"]["save_dir"], f"{name}_{stamp}")
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "config.yml"), "w") as f:
+            yaml.safe_dump({k: v for k, v in config.items()}, f)
+
+    from fourdgs.slam.runner import SLAM
+
+    slam = SLAM(
+        config,
+        save_dir=save_dir,
+        save_interval=args.interval,
+        dynamic=args.dynamic,
+        max_frames=args.max_frames,
+        capacity=args.capacity,
+    )
+    metrics = slam.run()
+
+    if config["Results"].get("eval_rendering", False):
+        ate = slam.eval_ate("final")
+        Log(f"ATE RMSE: {ate['rmse']:.4f} m", tag="Eval")
+        before = slam.eval_rendering("before_opt", interval=args.interval)
+        Log(f"before_opt: {before}", tag="Eval")
+        slam.save("final_before_opt")
+        slam.color_refinement()
+        after = slam.eval_rendering("after_opt", interval=args.interval)
+        Log(f"after_opt: {after}", tag="Eval")
+        metrics.update(
+            {"ate_rmse": ate["rmse"], "psnr_before": before["mean_psnr"],
+             "psnr_after": after["mean_psnr"], "ssim_after": after["mean_ssim"],
+             "l1_depth_after": after["mean_l1_depth"]}
+        )
+    slam.save("final")
+    Log(f"Done. metrics={metrics}")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
