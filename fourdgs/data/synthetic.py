@@ -94,12 +94,14 @@ def blob_offset(time: float) -> np.ndarray:
     )
 
 
-def orbit_pose(t: float, radius: float = 0.45) -> np.ndarray:
-    """World-to-camera pose looking at the room center from a small orbit."""
+def orbit_pose(t: float, radius: float = 0.12) -> np.ndarray:
+    """World-to-camera pose looking at the room center from a small orbit.
+    Amplitudes are tuned so inter-frame motion matches handheld RGB-D
+    footage (~centimetres/frame) — trackable at the reference's pose LRs."""
     ang = 0.6 * np.sin(t * 2 * np.pi)
     cx = radius * np.sin(ang)
-    cz = 0.4 * (1 - np.cos(ang))
-    yaw = 0.3 * np.sin(ang)
+    cz = 0.08 * (1 - np.cos(ang))
+    yaw = 0.06 * np.sin(ang)
     cy_, sy = np.cos(yaw), np.sin(yaw)
     R_wc = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
     c = np.array([cx, 0.0, cz])

@@ -173,3 +173,70 @@ def rasterize(
         T_final=t_final,
         radii=jax.lax.stop_gradient(sg.radius),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "width", "height", "tan_fovx", "tan_fovy", "config"),
+)
+def render_flow(
+    means3d: jax.Array,
+    scales: jax.Array,       # activated (exp) scales
+    quats: jax.Array,        # normalized rotations
+    opacities: jax.Array,    # activated opacities
+    dygs: jax.Array,         # (N,) bool dynamic flags
+    alive: jax.Array,
+    d_xyz1: jax.Array,       # (N, 3) deformation at t1 (zeros on static)
+    d_xyz2: jax.Array,       # (N, 3) deformation at t2
+    d_rot1: jax.Array,       # (N, 4) rotation residual at t1
+    d_scale1: jax.Array,     # (N, 3) scale residual at t1
+    T_cw1: jax.Array,
+    T_cw2: jax.Array,
+    proj: jax.Array,
+    *,
+    fx: float,
+    fy: float,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    config: RasterConfig = RasterConfig(),
+) -> RenderOutputs:
+    """Rasterize the scene flow between times/cameras (t1, cam1) ->
+    (t2, cam2) as a 3-channel image: NDC-units (du, dv) in xy and the
+    dygs flag in z, zero background — reference render_flow
+    (gaussian_renderer/__init__.py:229-361). Gaussian base parameters are
+    detached (only the deformation deltas receive gradients); colors are
+    the per-Gaussian flow payload."""
+    sg_stop = jax.lax.stop_gradient
+    base_xyz = sg_stop(means3d)
+    x1 = base_xyz + d_xyz1
+    x2 = base_xyz + d_xyz2
+
+    full1 = proj @ T_cw1
+    full2 = proj @ T_cw2
+
+    def ndc(x, full):
+        hom = x @ full[:3, :3].T + full[:3, 3]
+        w = x @ full[3, :3].T + full[3, 3]
+        return hom / (w[:, None] + 1e-7)
+
+    flow = ndc(x2, full2) - ndc(x1, full1)
+    payload = jnp.concatenate(
+        [flow[:, :2], dygs.astype(jnp.float32)[:, None]], axis=1
+    )
+
+    return rasterize(
+        x1,
+        sg_stop(scales) + d_scale1,
+        sg_stop(quats) + d_rot1,
+        sg_stop(opacities),
+        payload,
+        alive,
+        T_cw1,
+        proj,
+        jnp.zeros(3),
+        fx=fx, fy=fy, width=width, height=height,
+        tan_fovx=tan_fovx, tan_fovy=tan_fovy,
+        config=config,
+    )

@@ -121,6 +121,30 @@ class SLAM:
         self.store = kfs.empty_store(max_keyframes, self.intr.height, self.intr.width)
         self.key = jax.random.key(0)
 
+        # ---- 4D deformation state (lazy until dystart) ----
+        from fourdgs.utils.config import merge_hparams
+
+        self.hp = merge_hparams(config)
+        self.deform = None
+        self.deform_adam = None
+        self.deform_init = False
+        self.time_interval = 1.0 / max(self.n_frames, 1)
+        self.flow_weight = float(tr.get("flow_loss", 3))
+        self.flow_cache = None
+        if self.dynamic:
+            from fourdgs.perception.flow import FlowCache, SyntheticFlowProvider
+
+            if ds.get("type") == "synthetic":
+                self.flow_cache = FlowCache(SyntheticFlowProvider(self.dataset))
+            else:
+                try:
+                    from fourdgs.perception.raft import RaftFlowProvider
+
+                    self.flow_cache = FlowCache(RaftFlowProvider())
+                except Exception as e:
+                    Log(f"RAFT unavailable ({e}); flow loss disabled")
+                    self.flow_weight = 0.0
+
         # host bookkeeping
         self.poses_est: dict[int, np.ndarray] = {}
         self.exposures: dict[int, np.ndarray] = {}
@@ -139,16 +163,21 @@ class SLAM:
         self.key, sub = jax.random.split(self.key)
         return sub
 
-    def _spawn_gaussians(self, frame: Frame, T_cw, exposure, init: bool):
+    def _spawn_gaussians(self, frame: Frame, T_cw, exposure, init: bool,
+                         dygs: bool = False):
         """add_new_keyframe + extend_from_pcd_seq (reference
         slam_frontend.py:127-185, gaussian_model.py:354-362): back-project
         the keyframe depth (dynamic + invalid-RGB pixels zeroed) into new
-        Gaussians."""
+        Gaussians. With dygs=True, only DYNAMIC pixels spawn (reference
+        create_pcd_from_image add_dygs path, gaussian_model.py:176-180)."""
         ds = self.config["Dataset"]
         downs = int(ds.get("pcd_downsample_init" if init else "pcd_downsample", 32 if init else 128))
         valid_rgb = np.asarray(jnp.sum(frame.image, axis=0)) > 0.01
         depth = np.asarray(frame.depth) * valid_rgb
-        depth = depth * np.asarray(frame.motion_mask)  # dynamic_model path
+        if dygs:
+            depth = depth * ~np.asarray(frame.motion_mask)
+        else:
+            depth = depth * np.asarray(frame.motion_mask)  # dynamic_model path
         cands = gm.candidates_from_rgbd(
             self._next_key(),
             frame.image,
@@ -162,9 +191,108 @@ class SLAM:
             exposure_b=exposure[1],
         )
         self.gmap, self.adam, n = gm.insert(
-            self.gmap, self.adam, cands, kf_id=int(frame.uid), dygs=False
+            self.gmap, self.adam, cands, kf_id=int(frame.uid), dygs=dygs
         )
         return int(n)
+
+    def _init_deform(self, idx: int, frame: Frame):
+        """dystart: spawn dynamic Gaussians + control nodes from the
+        dynamic-region depth and warm up the deform MLP (reference
+        create_node_from_depth gaussian_model.py:257-317 +
+        initialize_network slam_backend.py:160-236)."""
+        from fourdgs.models.deform import init_nodes
+        from fourdgs.slam.mapping_dynamic import init_deform_adam, warmup_network
+
+        n_dy = self._spawn_gaussians(
+            frame, jnp.asarray(self.poses_est[idx], jnp.float32),
+            self.exposures[idx], init=False, dygs=True,
+        )
+        if n_dy == 0:
+            Log("no dynamic object at dystart; deferring deform init")
+            return False
+        dy_mask = np.asarray(self.gmap.dygs & self.gmap.alive)
+        pts = jnp.asarray(self.gmap.params.xyz)
+        node_cap = int(self.hp.node_num)
+        self.deform = init_nodes(
+            self._next_key(), node_cap, pts, jnp.asarray(dy_mask),
+            node_num=min(node_cap, max(int(dy_mask.sum()), 8)),
+        )
+        self.deform_adam = init_deform_adam(self.deform)
+        slot = jnp.int32(self.kf_slot[idx])
+        self.gmap, self.adam, self.deform, self.deform_adam, loss = warmup_network(
+            self.gmap, self.adam, self.deform, self.deform_adam, self.store,
+            slot, jnp.int32(100), self._next_key(), self.intr, self.map_cfg,
+        )
+        self.deform_init = True
+        Log(
+            f"Deform initialized at frame {idx}: {n_dy} dynamic gaussians, "
+            f"warmup loss {float(loss):.4f}", tag="Backend",
+        )
+        return True
+
+    def _flow_arrays(self, key_opt: list[int]):
+        """Per-window-view flow targets vs the closest earlier keyframe
+        (reference find_closest_keyframe + generate_flow)."""
+        vw = self.map_cfg.num_window_views
+        h, w = self.intr.height, self.intr.width
+        pair_slots = np.full(vw, -1, np.int32)
+        fwd = np.zeros((vw, 2, h, w), np.float32)
+        bwd = np.zeros((vw, 2, h, w), np.float32)
+        if self.flow_cache is None or self.flow_weight == 0.0:
+            return jnp.asarray(pair_slots), jnp.asarray(fwd), jnp.asarray(bwd)
+        for i, kf in enumerate(key_opt[:vw]):
+            earlier = [k for k in self.kf_indices if k < kf]
+            if not earlier:
+                continue
+            closest = max(earlier)
+            f, b, _, _ = self.flow_cache.get(kf, closest)
+            pair_slots[i] = self.kf_slot[closest]
+            fwd[i] = f
+            bwd[i] = b
+        return jnp.asarray(pair_slots), jnp.asarray(fwd), jnp.asarray(bwd)
+
+    def _run_mapping_dynamic(self, total_iters: int, step_after: int):
+        from fourdgs.slam.mapping_dynamic import map_chunk_dynamic
+
+        slots, valid, opt_pose, pool, pool_size, key_opt = self._window_arrays()
+        pair_slots, fwd, bwd = self._flow_arrays(key_opt)
+        pose_adam = init_pose_adam(self.map_cfg.num_window_views)
+        res = map_chunk_dynamic(
+            self.gmap, self.adam, self.store, self.deform, self.deform_adam,
+            slots, valid, opt_pose, pair_slots, fwd, bwd,
+            pool, pool_size, pose_adam, self._next_key(),
+            jnp.int32(total_iters), jnp.int32(step_after),
+            self.intr, self.map_cfg,
+            flow_weight=self.flow_weight,
+            time_interval=self.time_interval,
+        )
+        self.gmap, self.adam, self.store = res.gmap, res.adam, res.store
+        self.deform, self.deform_adam = res.deform, res.deform_adam
+        self.iteration_count += max(0, total_iters - max(step_after, 0))
+        # densify + visibility + pose resync (same host logic as static)
+        if (self.iteration_count % self.gaussian_update_every) < total_iters:
+            self.gmap, self.adam = gm.densify_and_prune(
+                self.gmap, self.adam, self._next_key(),
+                self.densify_grad_threshold, self.gaussian_th,
+                self.gaussian_extent, self.size_threshold,
+            )
+        vw_slots = np.zeros(self.map_cfg.num_window_views, np.int32)
+        vw_valid = np.zeros(self.map_cfg.num_window_views, bool)
+        for i, kf in enumerate(self.window[: self.map_cfg.num_window_views]):
+            vw_slots[i] = self.kf_slot[kf]
+            vw_valid[i] = True
+        vis = np.asarray(
+            window_visibility(
+                self.gmap, self.store, jnp.asarray(vw_slots),
+                jnp.asarray(vw_valid), self.intr, self.map_cfg,
+            )
+        )
+        for i, kf in enumerate(self.window[: self.map_cfg.num_window_views]):
+            self.occ_visibility[kf] = vis[i]
+        for kf in key_opt:
+            slot = self.kf_slot[kf]
+            self.poses_est[kf] = np.asarray(self.store.T_cw[slot])
+            self.exposures[kf] = np.asarray(self.store.exposure[slot])
 
     def _window_arrays(self):
         """Device arrays describing the current mapping view set:
@@ -363,6 +491,8 @@ class SLAM:
             frame, jnp.asarray(self.poses_est[idx], jnp.float32),
             self.exposures[idx], init=False,
         )
+        if self.dynamic and not self.deform_init and idx >= self.dystart:
+            self._init_deform(idx, frame)
         iter_per_kf = self.kf_iters
         step_after = 100 if iter_per_kf > 100 else -1
         if not self.initialized:
@@ -373,7 +503,10 @@ class SLAM:
             else:
                 iter_per_kf = self.mapping_itr_num
                 step_after = -1
-        self._run_mapping(iter_per_kf, step_after, prune=True)
+        if self.dynamic and self.deform_init:
+            self._run_mapping_dynamic(iter_per_kf, step_after)
+        else:
+            self._run_mapping(iter_per_kf, step_after, prune=True)
 
     def run(self, warmup_frames: int = 0) -> dict:
         """Process the sequence. `warmup_frames` excludes the first N
@@ -502,9 +635,19 @@ class SLAM:
 
         def render_at(idx):
             T = jnp.asarray(self.poses_est[idx], jnp.float32)
+            xyz, scales, quats = (
+                self.gmap.params.xyz, self.gmap.get_scaling, self.gmap.get_rotation,
+            )
+            if self.dynamic and self.deform_init:
+                from fourdgs.models.deform import warp
+
+                t = jnp.float32(idx / max(self.n_frames - 1, 1))
+                d_xyz, d_rot, d_scale = warp(
+                    self.deform, xyz, t, motion_mask=self.gmap.dygs
+                )
+                xyz, scales, quats = xyz + d_xyz, scales + d_scale, quats + d_rot
             out = rasterize(
-                self.gmap.params.xyz, self.gmap.get_scaling,
-                self.gmap.get_rotation, self.gmap.get_opacity,
+                xyz, scales, quats, self.gmap.get_opacity,
                 self.gmap.get_color, self.gmap.alive, T, proj, jnp.zeros(3),
                 fx=self.intr.fx, fy=self.intr.fy,
                 width=self.intr.width, height=self.intr.height,
