@@ -78,6 +78,27 @@ class ControlNodes(NamedTuple):
         return jnp.abs(self.weight_raw) + 1e-7
 
 
+class ControlNodeFloats(NamedTuple):
+    """Differentiable subset of ControlNodes (grad/Adam operate here; the
+    bool validity mask is carried separately)."""
+
+    nodes: jax.Array
+    radius_raw: jax.Array
+    weight_raw: jax.Array
+    mlp: MLPParams
+
+
+def cn_floats(cn: ControlNodes) -> ControlNodeFloats:
+    return ControlNodeFloats(cn.nodes, cn.radius_raw, cn.weight_raw, cn.mlp)
+
+
+def cn_merge(f: ControlNodeFloats, valid: jax.Array) -> ControlNodes:
+    return ControlNodes(
+        nodes=f.nodes, radius_raw=f.radius_raw, weight_raw=f.weight_raw,
+        valid=valid, mlp=f.mlp,
+    )
+
+
 def init_mlp(key: jax.Array) -> MLPParams:
     in_dim = _posenc_dim(3, XYZ_MULTIRES) + _posenc_dim(1, T_MULTIRES)
     dims = []

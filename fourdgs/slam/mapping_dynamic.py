@@ -32,7 +32,15 @@ import jax
 import jax.numpy as jnp
 
 from fourdgs.geometry.se3 import se3_exp
-from fourdgs.models.deform import ControlNodes, arap_loss, elastic_loss, warp
+from fourdgs.models.deform import (
+    ControlNodeFloats,
+    ControlNodes,
+    arap_loss,
+    cn_floats,
+    cn_merge,
+    elastic_loss,
+    warp,
+)
 from fourdgs.models.gaussian_map import AdamState, GaussianMap, adam_step
 from fourdgs.ops.rasterize import rasterize, render_flow
 from fourdgs.slam.camera import Intrinsics
@@ -48,17 +56,18 @@ from fourdgs.slam.mapping import MappingConfig, PoseAdam
 
 
 class DeformAdam(NamedTuple):
-    mu: ControlNodes
-    nu: ControlNodes
+    mu: ControlNodeFloats
+    nu: ControlNodeFloats
     count: jax.Array
 
 
 def init_deform_adam(cn: ControlNodes) -> DeformAdam:
-    z = jax.tree.map(jnp.zeros_like, cn)
+    z = jax.tree.map(jnp.zeros_like, cn_floats(cn))
     return DeformAdam(mu=z, nu=z, count=jnp.zeros((), jnp.int32))
 
 
-def deform_adam_step(cn, grads, state: DeformAdam, lr: float = 8e-4,
+def deform_adam_step(cn_f: ControlNodeFloats, grads: ControlNodeFloats,
+                     state: DeformAdam, lr: float = 8e-4,
                      b1=0.9, b2=0.999, eps=1e-15):
     count = state.count + 1
     t = count.astype(jnp.float32)
@@ -69,27 +78,12 @@ def deform_adam_step(cn, grads, state: DeformAdam, lr: float = 8e-4,
         step = lr * (mu2 / (1 - b1**t)) / (jnp.sqrt(nu2 / (1 - b2**t)) + eps)
         return p - step, mu2, nu2
 
-    flat_p, treedef = jax.tree.flatten(cn)
-    flat_g = jax.tree.leaves(grads)
-    flat_mu = jax.tree.leaves(state.mu)
-    flat_nu = jax.tree.leaves(state.nu)
-    new_p, new_mu, new_nu = [], [], []
-    for p, g, mu, nu in zip(flat_p, flat_g, flat_mu, flat_nu):
-        if jnp.issubdtype(p.dtype, jnp.floating):
-            p2, mu2, nu2 = upd(p, g, mu, nu)
-        else:
-            p2, mu2, nu2 = p, mu, nu
-        new_p.append(p2)
-        new_mu.append(mu2)
-        new_nu.append(nu2)
-    return (
-        jax.tree.unflatten(treedef, new_p),
-        DeformAdam(
-            mu=jax.tree.unflatten(treedef, new_mu),
-            nu=jax.tree.unflatten(treedef, new_nu),
-            count=count,
-        ),
-    )
+    out = jax.tree.map(upd, cn_f, grads, state.mu, state.nu)
+    leaves, treedef = jax.tree.flatten(out, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 3 and not hasattr(x, "_fields"))
+    new_p = jax.tree.unflatten(treedef, [l[0] for l in leaves])
+    new_mu = jax.tree.unflatten(treedef, [l[1] for l in leaves])
+    new_nu = jax.tree.unflatten(treedef, [l[2] for l in leaves])
+    return new_p, DeformAdam(mu=new_mu, nu=new_nu, count=count)
 
 
 def _deformed_render(gmap: GaussianMap, cn: ControlNodes, T_cw, t, proj,
@@ -157,8 +151,10 @@ def map_chunk_dynamic(
         [jnp.full((3,), cfg.lr_trans), jnp.full((3,), cfg.lr_rot), jnp.full((2,), cfg.lr_exposure)]
     )
 
+    cn_valid = cn.valid
+
     def body(i, state):
-        gmap, adam, store, pose_adam, cn, deform_adam, _ = state
+        gmap, adam, store, pose_adam, cn_f, deform_adam, _ = state
         ki = jax.random.fold_in(key, i)
         size = jnp.maximum(rand_pool_size, 1)
         r1 = jax.random.randint(ki, (), 0, size)
@@ -170,7 +166,8 @@ def map_chunk_dynamic(
         valids = jnp.concatenate([window_valid, rand_valid])
         dynamic_phase = i < num_iters // 2  # dynamic upweight first half (:349-356)
 
-        def loss_fn(params, cn_p, dtaus, dexps, taps):
+        def loss_fn(params, cn_fp, dtaus, dexps, taps):
+            cn_p = cn_merge(cn_fp, cn_valid)
             g = gmap._replace(params=params)
             total = 0.0
             radii_list = []
@@ -254,7 +251,7 @@ def map_chunk_dynamic(
         dexps = jnp.zeros((vw + vr, 2))
         (loss_val, radii_oks), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
-        )(gmap.params, cn, dtaus, dexps, taps)
+        )(gmap.params, cn_f, dtaus, dexps, taps)
         g_params, g_cn, g_taus, g_exps, g_taps = grads
 
         norms = jnp.linalg.norm(g_taps, axis=-1)
@@ -271,7 +268,7 @@ def map_chunk_dynamic(
 
         gmap, adam = jax.lax.cond(i > step_after, do_step, lambda o: o, (gmap, adam))
 
-        cn, deform_adam = deform_adam_step(cn, g_cn, deform_adam)
+        cn_f, deform_adam = deform_adam_step(cn_f, g_cn, deform_adam)
 
         # pose/exposure update (same as static map_chunk)
         gp = jnp.concatenate([g_taus[:vw], g_exps[:vw]], axis=1)
@@ -296,15 +293,17 @@ def map_chunk_dynamic(
         )
         pose_adam = PoseAdam(mu=mu, nu=nu, count=count)
 
-        return (gmap, adam, store, pose_adam, cn, deform_adam, loss_val)
+        return (gmap, adam, store, pose_adam, cn_f, deform_adam, loss_val)
 
-    init = (gmap, adam, store, pose_adam, cn, deform_adam, jnp.asarray(jnp.inf, jnp.float32))
-    gmap, adam, store, pose_adam, cn, deform_adam, loss_val = jax.lax.fori_loop(
+    init = (gmap, adam, store, pose_adam, cn_floats(cn), deform_adam,
+            jnp.asarray(jnp.inf, jnp.float32))
+    gmap, adam, store, pose_adam, cn_f, deform_adam, loss_val = jax.lax.fori_loop(
         0, num_iters, body, init
     )
     return DynChunkResult(
         gmap=gmap, adam=adam, store=store, pose_adam=pose_adam,
-        deform=cn, deform_adam=deform_adam, final_loss=loss_val,
+        deform=cn_merge(cn_f, cn_valid), deform_adam=deform_adam,
+        final_loss=loss_val,
     )
 
 
@@ -330,10 +329,13 @@ def warmup_network(
     t_kf = store.times[slot]
     T_kf = store.T_cw[slot]
 
-    def body(i, state):
-        gmap, adam, cn, deform_adam, _ = state
+    cn_valid = cn.valid
 
-        def loss_fn(params, cn_p):
+    def body(i, state):
+        gmap, adam, cn_f, deform_adam, _ = state
+
+        def loss_fn(params, cn_fp):
+            cn_p = cn_merge(cn_fp, cn_valid)
             g = gmap._replace(params=params)
             out, _ = _deformed_render(g, cn_p, T_kf, t_kf, proj, intr, cfg)
             return network_loss_rgbd(
@@ -342,12 +344,15 @@ def warmup_network(
             )
 
         (loss_val), grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            gmap.params, cn
+            gmap.params, cn_f
         )
         g_params, g_cn = grads
         p2, adam2 = adam_step(gmap.params, g_params, adam, cfg.lrs, gmap.alive)
-        cn2, da2 = deform_adam_step(cn, g_cn, deform_adam)
-        return (gmap._replace(params=p2), adam2, cn2, da2, loss_val)
+        cn_f2, da2 = deform_adam_step(cn_f, g_cn, deform_adam)
+        return (gmap._replace(params=p2), adam2, cn_f2, da2, loss_val)
 
-    init = (gmap, adam, cn, deform_adam, jnp.asarray(jnp.inf, jnp.float32))
-    return jax.lax.fori_loop(0, num_iters, body, init)
+    init = (gmap, adam, cn_floats(cn), deform_adam, jnp.asarray(jnp.inf, jnp.float32))
+    gmap, adam, cn_f, deform_adam, loss_val = jax.lax.fori_loop(
+        0, num_iters, body, init
+    )
+    return gmap, adam, cn_merge(cn_f, cn_valid), deform_adam, loss_val
