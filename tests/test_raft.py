@@ -79,3 +79,24 @@ def test_encoder_downsamples_8x():
     x = jnp.zeros((1, 3, 64, 80))
     f = encoder_forward(params["fnet"], x)
     assert f.shape == (1, 256, 8, 10)
+
+
+def test_gma_forward_shapes():
+    from fourdgs.perception.gma import make_gma_params, gma_forward, global_attention, aggregate
+
+    params = make_gma_params(jax.random.key(0))
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, (1, 3, 32, 40)), jnp.float32)
+    flow = gma_forward(params, img, img, iters=2)
+    assert flow.shape == (1, 2, 32, 40)
+    assert bool(jnp.all(jnp.isfinite(flow)))
+
+
+def test_gma_attention_rows_normalized():
+    from fourdgs.perception.gma import make_gma_params, global_attention
+
+    params = make_gma_params(jax.random.key(1))
+    ctx = jnp.asarray(np.random.default_rng(4).normal(size=(1, 128, 4, 5)), jnp.float32)
+    attn = global_attention(params["att"], ctx)
+    assert attn.shape == (20, 20)
+    np.testing.assert_allclose(np.asarray(attn.sum(axis=-1)), 1.0, atol=1e-5)
