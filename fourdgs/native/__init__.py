@@ -1,0 +1,101 @@
+"""Native (C++) host-runtime ops with ctypes bindings.
+
+Builds fourdgs/native/csrc/host_ops.cc with g++ on first use (cached in
+_build/); every entry point has a numpy fallback so the package works
+without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "csrc", "host_ops.cc")
+_BUILD_DIR = os.path.join(_HERE, "_build")
+_SO = os.path.join(_BUILD_DIR, "host_ops.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                os.makedirs(_BUILD_DIR, exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                     "-fPIC", "-pthread", _SRC, "-o", _SO],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.knn_mean_sq_dist.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.voxel_downsample.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.voxel_downsample.restype = ctypes.c_int64
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def has_native() -> bool:
+    return _load() is not None
+
+
+def knn_mean_sq_dist(points: np.ndarray, k: int = 3) -> np.ndarray:
+    """Host 3-NN mean squared distance (simple-knn semantics)."""
+    pts = np.ascontiguousarray(points, np.float32)
+    n = pts.shape[0]
+    lib = _load()
+    if lib is not None:
+        out = np.empty(n, np.float32)
+        lib.knn_mean_sq_dist(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, k,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+    # numpy fallback (exact, O(N^2) in chunks)
+    out = np.empty(n, np.float32)
+    chunk = 2048
+    for s in range(0, n, chunk):
+        d2 = ((pts[s:s + chunk, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        for i in range(d2.shape[0]):
+            d2[i, s + i] = np.inf
+        part = np.partition(d2, k, axis=1)[:, :k]
+        out[s:s + chunk] = part.mean(1)
+    return out
+
+
+def voxel_downsample_mask(points: np.ndarray, voxel: float) -> np.ndarray:
+    """Boolean keep-mask: first point per voxel."""
+    pts = np.ascontiguousarray(points, np.float32)
+    n = pts.shape[0]
+    lib = _load()
+    if lib is not None:
+        keep = np.empty(n, np.uint8)
+        lib.voxel_downsample(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+            ctypes.c_float(voxel),
+            keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return keep.astype(bool)
+    key = np.floor(pts / voxel).astype(np.int64)
+    _, first = np.unique(key, axis=0, return_index=True)
+    keep = np.zeros(n, bool)
+    keep[first] = True
+    return keep
