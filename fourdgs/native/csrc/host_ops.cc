@@ -97,7 +97,7 @@ void knn_mean_sq_dist(const float* points, int64_t n, int k, float* out) {
 
   // window scan over Morton order: neighbours in space are usually close
   // in the curve; use a generous window and exact distances within it.
-  const int64_t W = std::min<int64_t>(n - 1, std::max<int64_t>(64, 4 * k));
+  const int64_t W = std::min<int64_t>(n - 1, std::max<int64_t>(256, 32 * (int64_t)k));
   parallel_for(n, [&](int64_t lo, int64_t hi) {
     std::vector<float> best(k);
     for (int64_t s = lo; s < hi; ++s) {
