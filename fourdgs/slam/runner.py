@@ -516,6 +516,11 @@ class SLAM:
         from fourdgs.data.prefetch import FramePrefetcher
 
         tr = self.config["Training"]
+        viewer = None
+        if self.config.get("Results", {}).get("use_gui", False) and self.save_dir:
+            from fourdgs.gui.viewer import LiveViewer
+
+            viewer = LiveViewer(self.save_dir, interval=self.save_interval)
         t0 = time.time()
         t_warm = t0
         prefetcher = FramePrefetcher(
@@ -541,6 +546,8 @@ class SLAM:
             self.poses_est[idx] = np.asarray(res.T_cw)
             self.exposures[idx] = np.asarray(res.exposure)
             self.median_depth = float(res.median_depth)
+            if viewer is not None:
+                viewer.maybe_update(self, idx)
 
             check_time = (idx - last_kf) >= self.kf_interval
             if not check_time:
