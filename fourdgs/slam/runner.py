@@ -157,6 +157,22 @@ class SLAM:
         self.rng = np.random.default_rng(0)
         self.initialized = False
         self.metrics: dict = {}
+        self._wandb = None
+        if config.get("Results", {}).get("use_wandb", False):
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project="fourdgs-slam", config=dict(config))
+            except Exception:
+                Log("wandb unavailable; logging disabled")
+
+    def _wandb_log(self, data: dict):
+        if self._wandb is not None:
+            try:
+                self._wandb.log(data)
+            except Exception:
+                pass
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -582,6 +598,16 @@ class SLAM:
                     f"KF {idx}: {int(self.gmap.num_alive)} gaussians, "
                     f"window {self.window}", tag="Backend",
                 )
+                # periodic ATE evaluation (reference slam_frontend.py:798-811)
+                intv = int(self.config.get("Results", {}).get("save_trj_kf_intv", 5))
+                if (
+                    self.config.get("Results", {}).get("save_trj", False)
+                    and self.save_dir
+                    and len(self.kf_indices) % intv == 0
+                ):
+                    stats = self.eval_ate(label=f"frame_{idx}")
+                    Log(f"ATE RMSE @ frame {idx}: {stats['rmse']:.4f} m", tag="Eval")
+                    self._wandb_log({"ate": stats["rmse"], "frame": idx})
 
         jax.block_until_ready(self.gmap.params.xyz)
         elapsed = time.time() - t0
@@ -681,5 +707,12 @@ class SLAM:
             self.gmap,
             os.path.join(self.save_dir, "point_cloud", label, "point_cloud.ply"),
         )
+        if self.deform is not None:
+            # deform weights artifact (reference deform/iteration_*/deform.pth)
+            ddir = os.path.join(self.save_dir, "deform", label)
+            os.makedirs(ddir, exist_ok=True)
+            leaves = {f"leaf.{i}": np.asarray(x)
+                      for i, x in enumerate(jax.tree.leaves(self.deform))}
+            np.savez(os.path.join(ddir, "deform.npz"), **leaves)
         with open(os.path.join(self.save_dir, "final_result.json"), "w") as f:
             json.dump(self.metrics, f, indent=2)
