@@ -56,6 +56,7 @@ class MappingConfig(NamedTuple):
     lr_trans: float = 0.0005
     lr_exposure: float = 0.01
     isotropic_weight: float = 10.0
+    monocular: bool = False
     rm_dynamic: bool = True       # mask dynamic pixels out of the loss
     raster: RasterConfig = RasterConfig(with_n_touched=False)
     lrs: MapLRs = MapLRs()
@@ -165,13 +166,21 @@ def map_chunk(
                 motion = store.motion[slot]
                 out = _render_view(g, T_v, proj, intr, cfg, mean2d_offset=taps[v])
                 image_ab = apply_exposure(out.color, exp_ab[0], exp_ab[1])
-                l = mapping_loss_rgbd(
-                    image_ab, out.depth, image_gt, depth_gt,
-                    motion_mask=motion,
-                    alpha=cfg.alpha,
-                    rgb_boundary_threshold=cfg.rgb_boundary_threshold,
-                    rm_dynamic=cfg.rm_dynamic,
-                )
+                if cfg.monocular:
+                    # rgb-only mapping (get_loss_mapping_rgb,
+                    # utils/slam_utils.py:263-272)
+                    rgb_mask = (
+                        jnp.sum(image_gt, axis=0) > cfg.rgb_boundary_threshold
+                    ).astype(jnp.float32)[None]
+                    l = jnp.mean(jnp.abs((image_ab - image_gt) * rgb_mask))
+                else:
+                    l = mapping_loss_rgbd(
+                        image_ab, out.depth, image_gt, depth_gt,
+                        motion_mask=motion,
+                        alpha=cfg.alpha,
+                        rgb_boundary_threshold=cfg.rgb_boundary_threshold,
+                        rm_dynamic=cfg.rm_dynamic,
+                    )
                 l = jnp.where(valids[v], l, 0.0)
                 radii_ok = (out.radii > 0) & valids[v]
                 return carry + l, radii_ok

@@ -98,9 +98,11 @@ class SLAM:
             n_frames = min(n_frames, max_frames)
         self.n_frames = n_frames
 
+        self.monocular = bool(tr.get("monocular", False))
         self.raster = raster or RasterConfig()
         self.track_cfg = TrackingConfig(
             max_iters=self.tracking_itr_num,
+            monocular=self.monocular,
             lr_rot=float(tr["lr"]["cam_rot_delta"]),
             lr_trans=float(tr["lr"]["cam_trans_delta"]),
             alpha=self.alpha,
@@ -110,6 +112,7 @@ class SLAM:
             num_window_views=self.window_size,
             pose_window=self.pose_window,
             alpha=self.alpha,
+            monocular=self.monocular,
             lr_rot=float(tr["lr"]["cam_rot_delta"]) * 0.5,
             lr_trans=float(tr["lr"]["cam_trans_delta"]) * 0.5,
             rm_dynamic=True,
@@ -189,7 +192,15 @@ class SLAM:
         ds = self.config["Dataset"]
         downs = int(ds.get("pcd_downsample_init" if init else "pcd_downsample", 32 if init else 128))
         valid_rgb = np.asarray(jnp.sum(frame.image, axis=0)) > 0.01
-        depth = np.asarray(frame.depth) * valid_rgb
+        if self.monocular:
+            # monocular initialization: synthetic noisy depth around 2 m
+            # (reference add_new_keyframe, slam_frontend.py:133-137)
+            rng = np.random.default_rng(int(frame.uid) + 1234)
+            depth = (2.0 + rng.standard_normal(valid_rgb.shape) * 0.3).astype(
+                np.float32
+            ) * valid_rgb
+        else:
+            depth = np.asarray(frame.depth) * valid_rgb
         if dygs:
             depth = depth * ~np.asarray(frame.motion_mask)
         else:

@@ -32,6 +32,7 @@ from fourdgs.slam.losses import apply_exposure, median_depth, tracking_loss_rgbd
 
 class TrackingConfig(NamedTuple):
     max_iters: int = 100
+    monocular: bool = False
     lr_rot: float = 0.003
     lr_trans: float = 0.001
     lr_exposure: float = 0.01
@@ -104,13 +105,27 @@ def track_frame(
         image_ab = apply_exposure(out.color, delta[6], delta[7])
         motion = frame.motion_mask if use_motion_mask else None
         # the reference skips the motion mask on frame 0 (uid > 0 check)
-        loss = tracking_loss_rgbd(
-            image_ab, out.depth, out.alpha, frame.image, frame.depth,
-            frame.grad_mask,
-            motion_mask=motion,
-            alpha=config.alpha,
-            rgb_boundary_threshold=config.rgb_boundary_threshold,
-        )
+        if config.monocular:
+            # rgb-only tracking (reference get_loss_tracking_rgb,
+            # utils/slam_utils.py:66-106)
+            rgb_mask = (
+                (jnp.sum(frame.image, axis=0) > config.rgb_boundary_threshold)
+                & frame.grad_mask
+            )
+            if motion is not None:
+                rgb_mask = rgb_mask & motion
+            loss = jnp.mean(
+                out.alpha[None]
+                * jnp.abs((image_ab - frame.image) * rgb_mask.astype(jnp.float32)[None])
+            )
+        else:
+            loss = tracking_loss_rgbd(
+                image_ab, out.depth, out.alpha, frame.image, frame.depth,
+                frame.grad_mask,
+                motion_mask=motion,
+                alpha=config.alpha,
+                rgb_boundary_threshold=config.rgb_boundary_threshold,
+            )
         return loss, out
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
