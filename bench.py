@@ -84,7 +84,7 @@ def main():
         }
     )
 
-    slam = SLAM(config, capacity=1 << 17, max_keyframes=64)
+    slam = SLAM(config, max_keyframes=64)
     metrics = slam.run(warmup_frames=warmup)
     fps = metrics.get("fps_steady", metrics["fps"])
     print(

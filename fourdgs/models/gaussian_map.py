@@ -127,6 +127,52 @@ def empty_map(capacity: int) -> GaussianMap:
     )
 
 
+def resize_map(gmap: GaussianMap, adam: AdamState, new_capacity: int):
+    """Grow (or shrink, alive slots permitting) the capacity. Shapes are
+    static under XLA, so jitted programs recompile once per capacity
+    bucket; the runner grows in powers of two as the map fills
+    (the reference's tensors grow every densify call instead)."""
+    old = gmap.capacity
+
+    def grow(x, fill=0):
+        pad = [(0, new_capacity - old)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad, constant_values=fill)
+
+    def shrink_order():
+        # keep alive slots first
+        return jnp.argsort(~gmap.alive, stable=True)[:new_capacity]
+
+    if new_capacity >= old:
+        gmap2 = GaussianMap(
+            params=jax.tree.map(grow, gmap.params),
+            alive=grow(gmap.alive),
+            dygs=grow(gmap.dygs),
+            kf_id=grow(gmap.kf_id),
+            n_obs=grow(gmap.n_obs),
+            max_radii2d=grow(gmap.max_radii2d),
+            grad_accum=grow(gmap.grad_accum),
+            denom=grow(gmap.denom),
+        )
+        adam2 = AdamState(
+            mu=jax.tree.map(grow, adam.mu),
+            nu=jax.tree.map(grow, adam.nu),
+            count=adam.count,
+        )
+    else:
+        order = shrink_order()
+
+        def take(x):
+            return x[order]
+
+        gmap2 = jax.tree.map(take, gmap)
+        adam2 = AdamState(
+            mu=jax.tree.map(take, adam.mu),
+            nu=jax.tree.map(take, adam.nu),
+            count=adam.count,
+        )
+    return gmap2, adam2
+
+
 def init_adam(capacity: int) -> AdamState:
     zero = empty_map(capacity).params
     zero = jax.tree.map(jnp.zeros_like, zero)

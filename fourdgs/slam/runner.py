@@ -53,7 +53,8 @@ class SLAM:
         save_interval: int = 50,
         dynamic: bool = False,
         max_frames: int | None = None,
-        capacity: int = 1 << 17,
+        capacity: int = 1 << 14,
+        max_capacity: int = 1 << 18,
         max_keyframes: int = 512,
         raster: RasterConfig | None = None,
     ):
@@ -99,7 +100,9 @@ class SLAM:
         self.n_frames = n_frames
 
         self.monocular = bool(tr.get("monocular", False))
-        self.raster = raster or RasterConfig()
+        self.max_capacity = max_capacity
+        self._raster_base = raster or RasterConfig()
+        self.raster = self._raster_for_capacity(capacity)
         self.track_cfg = TrackingConfig(
             max_iters=self.tracking_itr_num,
             monocular=self.monocular,
@@ -177,6 +180,33 @@ class SLAM:
             except Exception:
                 pass
 
+    def _raster_for_capacity(self, capacity: int) -> RasterConfig:
+        """Scale the static pair/tile capacities with the map bucket —
+        everything in the render scales with these shapes."""
+        max_pairs = int(min(1 << 18, max(1 << 15, capacity * 8)))
+        return self._raster_base._replace(max_pairs=max_pairs)
+
+    def _refresh_configs(self):
+        self.track_cfg = self.track_cfg._replace(
+            raster=self.raster._replace(with_n_touched=False)
+        )
+        self.map_cfg = self.map_cfg._replace(
+            raster=self.raster._replace(with_n_touched=False)
+        )
+
+    def _maybe_grow(self):
+        """Grow the capacity bucket when the map fills (power-of-two
+        buckets; each growth recompiles the jitted programs once)."""
+        n_alive = int(self.gmap.num_alive)
+        cap = self.gmap.capacity
+        if n_alive <= 0.7 * cap or cap >= self.max_capacity:
+            return
+        new_cap = min(self.max_capacity, cap * 2)
+        self.gmap, self.adam = gm.resize_map(self.gmap, self.adam, new_cap)
+        self.raster = self._raster_for_capacity(new_cap)
+        self._refresh_configs()
+        Log(f"Capacity bucket grown to {new_cap} ({n_alive} alive)")
+
     # ------------------------------------------------------------------
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -217,6 +247,17 @@ class SLAM:
             exposure_a=exposure[0],
             exposure_b=exposure[1],
         )
+        # grow BEFORE inserting so no candidates are dropped at capacity
+        n_new = int(jnp.sum(cands.valid))
+        while (
+            int(self.gmap.num_alive) + n_new > 0.9 * self.gmap.capacity
+            and self.gmap.capacity < self.max_capacity
+        ):
+            new_cap = min(self.max_capacity, self.gmap.capacity * 2)
+            self.gmap, self.adam = gm.resize_map(self.gmap, self.adam, new_cap)
+            self.raster = self._raster_for_capacity(new_cap)
+            self._refresh_configs()
+            Log(f"Capacity bucket grown to {new_cap}")
         self.gmap, self.adam, n = gm.insert(
             self.gmap, self.adam, cands, kf_id=int(frame.uid), dygs=dygs
         )
@@ -303,6 +344,7 @@ class SLAM:
                 self.densify_grad_threshold, self.gaussian_th,
                 self.gaussian_extent, self.size_threshold,
             )
+            self._maybe_grow()
         vw_slots = np.zeros(self.map_cfg.num_window_views, np.int32)
         vw_valid = np.zeros(self.map_cfg.num_window_views, bool)
         for i, kf in enumerate(self.window[: self.map_cfg.num_window_views]):
@@ -410,6 +452,7 @@ class SLAM:
                     self.gmap, self.adam, self._next_key(),
                     self.densify_grad_threshold, min_op, ext, sth,
                 )
+                self._maybe_grow()
             elif reset_cadence and self.iteration_count > 0 and (
                 self.iteration_count % self.gaussian_reset
             ) < 1:
@@ -488,6 +531,7 @@ class SLAM:
                     self.densify_grad_threshold, self.init_gaussian_th,
                     self.init_gaussian_extent, 0.0,
                 )
+                self._maybe_grow()
             if done == self.init_gaussian_reset:
                 self.gmap, self.adam = gm.reset_opacity(self.gmap, self.adam)
 

@@ -184,3 +184,26 @@ def test_add_densification_stats():
     gmap = add_densification_stats(gmap, g2d, filt)
     np.testing.assert_allclose(np.asarray(gmap.grad_accum[:4]), np.sqrt(2), rtol=1e-6)
     assert float(jnp.sum(gmap.grad_accum[4:])) == 0.0
+
+
+def test_resize_map_grow_and_shrink():
+    from fourdgs.models.gaussian_map import resize_map
+
+    gmap = empty_map(CAP)
+    adam = init_adam(CAP)
+    gmap, adam, _ = insert(gmap, adam, _mk_new(16), kf_id=2)
+    adam = adam._replace(mu=jax.tree.map(lambda x: x + 1.0, adam.mu))
+    g2, a2 = resize_map(gmap, adam, CAP * 2)
+    assert g2.capacity == CAP * 2
+    assert int(g2.num_alive) == 16
+    np.testing.assert_allclose(np.asarray(a2.mu.xyz[:CAP]), np.asarray(adam.mu.xyz))
+    assert float(jnp.abs(a2.mu.xyz[CAP:]).sum()) == 0.0
+    # shrink keeps alive slots
+    g3, a3 = resize_map(g2, a2, 32)
+    assert g3.capacity == 32
+    assert int(g3.num_alive) == 16
+    np.testing.assert_allclose(
+        np.sort(np.asarray(g3.params.xyz[np.asarray(g3.alive)][:, 0])),
+        np.sort(np.asarray(gmap.params.xyz[np.asarray(gmap.alive)][:, 0])),
+        atol=1e-6,
+    )
