@@ -159,6 +159,39 @@ def init_nodes(
     )
 
 
+def extend_nodes(
+    cn: ControlNodes,
+    key: jax.Array,
+    new_points: jax.Array,
+    points_valid: jax.Array,
+    sample_number: int = 250,
+) -> ControlNodes:
+    """Add control nodes for newly appearing dynamic regions into spare
+    capacity slots (reference extend_node, time_utils.py:954-973): FPS
+    sample from the new point cloud, radius from the existing median."""
+    capacity = cn.nodes.shape[0]
+    free = jnp.sum(~cn.valid)
+    n_add = int(min(sample_number, capacity))
+    sel = farthest_point_sample(new_points, points_valid, n_add, key)
+    # place into dead slots (stable order)
+    slot_order = jnp.argsort(cn.valid, stable=True)
+    slots = slot_order[:n_add]
+    take = (~cn.valid[slots]) & (jnp.arange(n_add) < free)
+    med_r = jnp.median(jnp.where(cn.valid, cn.radius_raw, jnp.nan))
+    med_r = jnp.where(jnp.isnan(med_r), jnp.log(0.1), med_r)
+    nodes = cn.nodes.at[slots].set(
+        jnp.where(take[:, None], new_points[sel], cn.nodes[slots])
+    )
+    radius = cn.radius_raw.at[slots].set(
+        jnp.where(take, med_r, cn.radius_raw[slots])
+    )
+    weight = cn.weight_raw.at[slots].set(
+        jnp.where(take[:, None], 0.0, cn.weight_raw[slots])
+    )
+    valid = cn.valid.at[slots].set(take | cn.valid[slots])
+    return cn._replace(nodes=nodes, radius_raw=radius, weight_raw=weight, valid=valid)
+
+
 def mlp_forward(mlp: MLPParams, x: jax.Array, t: jax.Array):
     """x (..., 3), t (..., 1) -> (d_xyz, d_rotation, d_scaling)."""
     x_emb = posenc(x, XYZ_MULTIRES)

@@ -57,6 +57,8 @@ class MappingConfig(NamedTuple):
     lr_exposure: float = 0.01
     isotropic_weight: float = 10.0
     monocular: bool = False
+    refine: bool = False          # color-refinement objective (SSIM mix)
+    lambda_dssim: float = 0.2
     rm_dynamic: bool = True       # mask dynamic pixels out of the loss
     raster: RasterConfig = RasterConfig(with_n_touched=False)
     lrs: MapLRs = MapLRs()
@@ -166,7 +168,22 @@ def map_chunk(
                 motion = store.motion[slot]
                 out = _render_view(g, T_v, proj, intr, cfg, mean2d_offset=taps[v])
                 image_ab = apply_exposure(out.color, exp_ab[0], exp_ab[1])
-                if cfg.monocular:
+                if cfg.refine:
+                    # color refinement: (1-lambda)*L1 + lambda*(1-SSIM) +
+                    # 0.1*L1depth, motion-masked (reference
+                    # color_refinement, slam_backend.py:820-840)
+                    from fourdgs.ops.image import ssim
+
+                    mf = motion.astype(jnp.float32)[None]
+                    l1 = jnp.mean(jnp.abs((image_ab - image_gt) * mf))
+                    dmask = ((depth_gt > 0.01) & motion).astype(jnp.float32)
+                    l1d = jnp.mean(jnp.abs((out.depth - depth_gt) * dmask))
+                    l = (
+                        (1 - cfg.lambda_dssim) * l1
+                        + cfg.lambda_dssim * (1.0 - ssim(image_ab * mf, image_gt * mf))
+                        + 0.1 * l1d
+                    )
+                elif cfg.monocular:
                     # rgb-only mapping (get_loss_mapping_rgb,
                     # utils/slam_utils.py:263-272)
                     rgb_mask = (

@@ -693,13 +693,14 @@ class SLAM:
         padded = 1 << max(3, int(np.ceil(np.log2(max(len(pool), 1)))))
         pool_full = np.zeros(padded, np.int32)
         pool_full[: len(pool)] = pool
+        refine_cfg = self.map_cfg._replace(refine=True)
         res = map_chunk(
             self.gmap, self.adam, self.store,
             jnp.asarray(slots), jnp.asarray(valid), jnp.zeros(vw, bool),
             jnp.asarray(pool_full), jnp.int32(len(pool)),
             init_pose_adam(vw), self._next_key(),
             jnp.int32(iterations), jnp.int32(-1), jnp.float32(1.0),
-            self.intr, self.map_cfg,
+            self.intr, refine_cfg,
         )
         self.gmap, self.adam, self.store = res.gmap, res.adam, res.store
 

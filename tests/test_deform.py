@@ -117,3 +117,22 @@ def test_warp_motion_mask():
     d_xyz, _, _ = warp(cn, pts, jnp.float32(0.5), motion_mask=mask)
     assert float(jnp.abs(d_xyz[:5]).min()) > 0.1
     np.testing.assert_allclose(np.asarray(d_xyz[5:]), 0.0)
+
+
+def test_extend_nodes():
+    from fourdgs.models.deform import extend_nodes
+
+    cn = _nodes(cap=64, n=16)
+    rng = np.random.default_rng(5)
+    new_pts = jnp.asarray(rng.uniform(2, 3, (128, 3)), jnp.float32)
+    cn2 = extend_nodes(cn, jax.random.key(0), new_pts, jnp.ones(128, bool),
+                       sample_number=20)
+    assert int(jnp.sum(cn2.valid)) == 36
+    # old nodes untouched
+    np.testing.assert_allclose(
+        np.asarray(cn2.nodes[np.asarray(cn.valid)]),
+        np.asarray(cn.nodes[np.asarray(cn.valid)]),
+    )
+    # new nodes come from the new cloud
+    newly = np.asarray(cn2.valid & ~cn.valid)
+    assert np.all(np.asarray(cn2.nodes)[newly] >= 1.9)
