@@ -124,4 +124,25 @@ def load_dataset(args, path: str, config) -> BaseDataset:
         return CoFusionDataset(args, path, config)
     if dtype == "synthetic":
         return SyntheticDataset(args, path, config)
+    if dtype == "realsense":
+        return RealsenseDataset(args, path, config)
     raise ValueError(f"Unknown dataset type: {dtype}")
+
+
+class RealsenseDataset(BaseDataset):
+    """Live RGB-D capture (reference utils/dataset.py:721-811 realDataset).
+    Requires pyrealsense2 + a physical camera; neither exists in this
+    container, so construction raises with a clear message."""
+
+    def __init__(self, args, path, config):
+        try:
+            import pyrealsense2  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "Realsense live capture needs pyrealsense2 and a camera; "
+                "neither is available in this environment"
+            ) from e
+        super().__init__(args, path, config)
+        raise NotImplementedError(
+            "live capture loop pending hardware to test against"
+        )

@@ -55,11 +55,30 @@ def eval_rendering(
     label: str = "final",
     mask_dynamic: bool = False,
     interval: int = 1,
+    dump_images: bool = False,
+    novel_render_fn=None,
 ) -> dict:
     """render_fn(idx) -> (image (3,H,W), depth (H,W)) jnp arrays at the
-    estimated pose for dataset frame idx."""
+    estimated pose for dataset frame idx. With dump_images, evaluated
+    frames (and novel views when novel_render_fn is given) are saved as
+    PNGs under <save_dir>/renders/<label>/ (reference
+    eval_utils.py:346-405)."""
     psnrs, ssims, lpipss, l1ds = [], [], [], []
     lpips = _lpips_fn()
+    dump_dir = os.path.join(save_dir, "renders", label)
+    if dump_images:
+        os.makedirs(dump_dir, exist_ok=True)
+
+    def _dump(name, img):
+        from PIL import Image
+
+        arr = np.clip(np.asarray(img), 0, 1)
+        if arr.ndim == 3 and arr.shape[0] == 3:
+            arr = arr.transpose(1, 2, 0)
+        Image.fromarray((arr * 255).astype(np.uint8)).save(
+            os.path.join(dump_dir, name)
+        )
+
     for idx in frame_ids[::interval]:
         gt_image, gt_depth, _, motion_mask = dataset[idx]
         img, depth = render_fn(idx)
@@ -67,6 +86,12 @@ def eval_rendering(
         mask = jnp.asarray(gt_image).sum(axis=0) > 0.01
         if mask_dynamic:
             mask = mask & jnp.asarray(motion_mask)
+        if dump_images:
+            _dump(f"{idx:05d}_render.png", img)
+            _dump(f"{idx:05d}_gt.png", gt_image)
+            if novel_render_fn is not None:
+                nimg, _ = novel_render_fn(idx)
+                _dump(f"{idx:05d}_novel.png", nimg)
         psnrs.append(float(psnr(jnp.clip(img, 0, 1), gt_image, mask)))
         ssims.append(float(ssim(jnp.clip(img, 0, 1), gt_image)))
         if lpips is not None:

@@ -745,12 +745,26 @@ class SLAM:
             )
             return out.color, out.depth
 
+        from fourdgs.geometry.se3 import se3_exp
+
+        def novel_at(idx):
+            # small orbit offset novel view (reference eval novel dumps)
+            T = jnp.asarray(self.poses_est[idx], jnp.float32)
+            tau = jnp.asarray([0.1, -0.05, 0.0, 0.0, 0.2, 0.0], jnp.float32)
+            save_T = self.poses_est[idx]
+            self.poses_est[idx] = np.asarray(se3_exp(tau) @ T)
+            out = render_at(idx)
+            self.poses_est[idx] = save_T
+            return out
+
         ids = [i for i in sorted(self.poses_est.keys())]
         return _er(
             render_at, self.dataset, ids,
             self.save_dir or "/tmp/fourdgs_eval", label,
             mask_dynamic=not self.dynamic,
             interval=interval or 1,
+            dump_images=bool(self.save_dir),
+            novel_render_fn=novel_at if self.save_dir else None,
         )
 
     def save(self, label: str = "final"):
