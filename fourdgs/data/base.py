@@ -104,9 +104,19 @@ class BaseDataset:
         depth = self._read_depth(idx) if self.has_depth else None
         pose = self.poses[idx]
         h, w = image.shape[1], image.shape[2]
-        dynamic = np.zeros((h, w), bool)
-        if self.mask_fn is not None:
-            dynamic = self.mask_fn(img_u8)
+        if not hasattr(self, "_mask_cache"):
+            self._mask_cache = {}
+        if idx in self._mask_cache:
+            dynamic = self._mask_cache[idx]
+        else:
+            dynamic = np.zeros((h, w), bool)
+            if self.mask_fn is not None:
+                try:
+                    # stateful geometric segmenters consume depth + pose
+                    dynamic = self.mask_fn(img_u8, depth, pose)
+                except TypeError:
+                    dynamic = self.mask_fn(img_u8)
+            self._mask_cache[idx] = dynamic
         motion_mask = ~dynamic
         return image, depth, pose, motion_mask
 

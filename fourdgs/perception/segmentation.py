@@ -141,8 +141,11 @@ class MotionSegmenter:
         except Exception:
             return raw if raw.sum() >= self.min_region else np.zeros_like(raw)
 
-    def __call__(self, img_u8: np.ndarray) -> np.ndarray:
-        # image-only API: return last computed mask shape-safe
+    def __call__(self, img_u8: np.ndarray, depth: np.ndarray | None = None,
+                 pose: np.ndarray | None = None) -> np.ndarray:
+        if depth is not None and pose is not None:
+            return self.update(img_u8, depth, np.asarray(pose))
+        # image-only API: no geometry to compensate with
         return np.zeros(img_u8.shape[:2], bool)
 
 

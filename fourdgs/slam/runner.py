@@ -94,6 +94,12 @@ class SLAM:
 
         self.intr = Intrinsics.from_config(config)
         self.dataset = load_dataset(None, ds.get("dataset_path", ""), config)
+        if ds.get("type") in ("tum", "CoFusion") and config.get(
+            "model_params", {}
+        ).get("dynamic_model", True):
+            from fourdgs.perception.segmentation import make_segmenter
+
+            self.dataset.mask_fn = make_segmenter(config, self.intr)
         n_frames = len(self.dataset)
         if max_frames is not None:
             n_frames = min(n_frames, max_frames)
