@@ -84,7 +84,9 @@ def main():
         }
     )
 
-    slam = SLAM(config, max_keyframes=64)
+    # pin the capacity bucket: auto-growth would recompile mid-run and
+    # pollute the steady-state window on a short benchmark sequence
+    slam = SLAM(config, capacity=1 << 15, max_capacity=1 << 15, max_keyframes=64)
     metrics = slam.run(warmup_frames=warmup)
     fps = metrics.get("fps_steady", metrics["fps"])
     print(

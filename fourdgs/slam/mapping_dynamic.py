@@ -169,9 +169,24 @@ def map_chunk_dynamic(
         def loss_fn(params, cn_fp, dtaus, dexps, taps):
             cn_p = cn_merge(cn_fp, cn_valid)
             g = gmap._replace(params=params)
-            total = 0.0
-            radii_list = []
-            for v in range(vw + vr):
+            # stacked per-view inputs so the view loop is a lax.scan
+            # (compile-time: the reference window is 8+2 views; unrolling
+            # trebles the graph with the flow renders)
+            pair_slots_all = jnp.concatenate(
+                [flow_pair_slots, jnp.full((vr,), -1, jnp.int32)]
+            )
+            flow_fwd_all = jnp.concatenate(
+                [flow_fwd, jnp.zeros((vr,) + flow_fwd.shape[1:])], axis=0
+            )
+            flow_bwd_all = jnp.concatenate(
+                [flow_bwd, jnp.zeros((vr,) + flow_bwd.shape[1:])], axis=0
+            )
+            reg_w_all = jnp.concatenate(
+                [jnp.full((vw,), 1e-3), jnp.full((vr,), 1e-4)]
+            )
+
+            def view_loss(carry, inp):
+                v, = inp
                 slot = slots[v]
                 T_v = se3_exp(dtaus[v]) @ store.T_cw[slot]
                 exp_ab = store.exposure[slot] + dexps[v]
@@ -189,62 +204,62 @@ def map_chunk_dynamic(
                     rgb_boundary_threshold=cfg.rgb_boundary_threshold,
                     rm_dynamic=False,
                     dynamic=True,
-                ) * jnp.where(dynamic_phase, 1.0, 1.0)
-                total = total + jnp.where(valids[v], l, 0.0)
-                radii_list.append((out.radii > 0) & valids[v])
+                )
+                total_v = jnp.where(valids[v], l, 0.0)
+                radii_ok = (out.radii > 0) & valids[v]
 
-                is_window = v < vw
-                if is_window:
-                    # bidirectional flow loss vs the closest earlier keyframe
-                    pair = flow_pair_slots[v]
-                    has_pair = pair >= 0
-                    pair_c = jnp.maximum(pair, 0)
-                    T_p = store.T_cw[pair_c]
-                    t_p = store.times[pair_c]
-                    d2_xyz, d2_rot, d2_scale = warp(
-                        cn_p, jax.lax.stop_gradient(g.params.xyz), t_p,
-                        motion_mask=g.dygs,
-                    )
-                    kwargs = dict(
-                        fx=intr.fx, fy=intr.fy, width=intr.width,
-                        height=intr.height, tan_fovx=intr.tan_fovx,
-                        tan_fovy=intr.tan_fovy, config=cfg.raster,
-                    )
-                    # view -> pair rendered at the view camera
-                    f12 = render_flow(
-                        g.params.xyz, g.get_scaling, g.get_rotation,
-                        g.get_opacity, g.dygs, g.alive,
-                        d_xyz, d2_xyz, d_rot, d_scale,
-                        T_v, T_p, proj, **kwargs,
-                    )
-                    dyn1 = ~motion
-                    l_b = masked_flow_l1(f12.color[:2], flow_bwd[v], dyn1)
-                    # pair -> view rendered at the pair camera
-                    f21 = render_flow(
-                        g.params.xyz, g.get_scaling, g.get_rotation,
-                        g.get_opacity, g.dygs, g.alive,
-                        d2_xyz, d_xyz, d2_rot, d2_scale,
-                        T_p, T_v, proj, **kwargs,
-                    )
-                    dyn2 = ~store.motion[pair_c]
-                    l_f = masked_flow_l1(f21.color[:2], flow_fwd[v], dyn2)
-                    total = total + jnp.where(
-                        valids[v] & has_pair, flow_weight * (l_b + l_f), 0.0
-                    )
-                    reg_w = 1e-3
-                else:
-                    reg_w = 1e-4
+                # bidirectional flow loss vs the closest earlier keyframe
+                # (random views carry pair = -1 and contribute 0)
+                pair = pair_slots_all[v]
+                has_pair = pair >= 0
+                pair_c = jnp.maximum(pair, 0)
+                T_p = store.T_cw[pair_c]
+                t_p = store.times[pair_c]
+                d2_xyz, d2_rot, d2_scale = warp(
+                    cn_p, jax.lax.stop_gradient(g.params.xyz), t_p,
+                    motion_mask=g.dygs,
+                )
+                kwargs = dict(
+                    fx=intr.fx, fy=intr.fy, width=intr.width,
+                    height=intr.height, tan_fovx=intr.tan_fovx,
+                    tan_fovy=intr.tan_fovy, config=cfg.raster,
+                )
+                f12 = render_flow(
+                    g.params.xyz, g.get_scaling, g.get_rotation,
+                    g.get_opacity, g.dygs, g.alive,
+                    d_xyz, d2_xyz, d_rot, d_scale,
+                    T_v, T_p, proj, **kwargs,
+                )
+                l_b = masked_flow_l1(f12.color[:2], flow_bwd_all[v], ~motion)
+                f21 = render_flow(
+                    g.params.xyz, g.get_scaling, g.get_rotation,
+                    g.get_opacity, g.dygs, g.alive,
+                    d2_xyz, d_xyz, d2_rot, d2_scale,
+                    T_p, T_v, proj, **kwargs,
+                )
+                l_f = masked_flow_l1(f21.color[:2], flow_fwd_all[v], ~store.motion[pair_c])
+                total_v = total_v + jnp.where(
+                    valids[v] & has_pair, flow_weight * (l_b + l_f), 0.0
+                )
+
                 ka = jax.random.fold_in(ki, 100 + v)
-                total = total + jnp.where(
+                total_v = total_v + jnp.where(
                     valids[v],
-                    reg_w * arap_loss(cn_p, ka, t_v, 5 * time_interval, t_samp_num=2)
-                    + reg_w * elastic_loss(cn_p, jax.random.fold_in(ka, 1), t_v, 5 * time_interval),
+                    reg_w_all[v]
+                    * arap_loss(cn_p, ka, t_v, 5 * time_interval, t_samp_num=2)
+                    + reg_w_all[v]
+                    * elastic_loss(cn_p, jax.random.fold_in(ka, 1), t_v, 5 * time_interval),
                     0.0,
                 )
+                return carry + total_v, radii_ok
+
+            total, radii_oks = jax.lax.scan(
+                view_loss, 0.0, (jnp.arange(vw + vr),)
+            )
             total = total + cfg.isotropic_weight * isotropic_loss(
                 jnp.exp(params.scaling), g.alive
             )
-            return total, jnp.stack(radii_list)
+            return total, radii_oks
 
         taps = jnp.zeros((vw + vr, cap, 2))
         dtaus = jnp.zeros((vw + vr, 6))

@@ -427,8 +427,13 @@ class SLAM:
             # :723-726; only iterations past step_after advance
             # iteration_count, :337-338)
             if densify:
+                # fire when iteration_count % every == offset (reference
+                # :723-726)
                 per = self.gaussian_update_every
-                to_boundary = per - (self.iteration_count % per)
+                off = self.gaussian_update_offset % per
+                to_boundary = (off - self.iteration_count) % per
+                if to_boundary == 0:
+                    to_boundary = per
             else:
                 to_boundary = total_iters
             chunk = int(min(total_iters - done, max(1, to_boundary)))
@@ -453,7 +458,7 @@ class SLAM:
 
             if densify and (
                 self.iteration_count % self.gaussian_update_every
-            ) < 1 and self.iteration_count > 0:
+            ) == self.gaussian_update_offset % self.gaussian_update_every and self.iteration_count > 0:
                 self.gmap, self.adam = gm.densify_and_prune(
                     self.gmap, self.adam, self._next_key(),
                     self.densify_grad_threshold, min_op, ext, sth,
@@ -494,6 +499,31 @@ class SLAM:
             # prune pass (reference :700-721): RGB-D mode only marks
             # initialization complete; monocular would prune
             self.initialized = True
+
+    def _reset(self, idx: int, frame: Frame):
+        """Domain-level failure recovery: drop the map and rebuild from
+        the current frame (monocular pre-init overlap loss)."""
+        cap = self.gmap.capacity
+        self.gmap = gm.empty_map(cap)
+        self.adam = gm.init_adam(cap)
+        self.store = kfs.empty_store(
+            self.store.capacity, self.intr.height, self.intr.width
+        )
+        self.kf_slot.clear()
+        self.occ_visibility.clear()
+        self.kf_indices = []
+        self.window = []
+        self.iteration_count = 0
+        self.initialized = False
+        # re-init at the tracked pose estimate
+        T = jnp.asarray(self.poses_est[idx], jnp.float32)
+        self.store = kfs.store_keyframe(self.store, 0, frame, T, jnp.zeros(2))
+        self.kf_slot[idx] = 0
+        self.kf_indices = [idx]
+        self.window = [idx]
+        self._spawn_gaussians(frame, T, np.zeros(2), init=True)
+        out = render_keyframe(self.gmap, self.store, jnp.int32(0), self.intr, self.map_cfg)
+        self.occ_visibility[idx] = np.asarray(out.n_touched > 0)
 
     def _initialize(self, frame: Frame):
         T_gt = np.asarray(frame.T_gt)
@@ -564,6 +594,13 @@ class SLAM:
             self.poses_est, self.kf_cutoff, self.window_size,
             initialized=self.initialized,
         )
+        if self.monocular and not self.initialized and removed is not None:
+            # monocular recovery: the window lost overlap before the map
+            # initialized — reset everything and re-init from this frame
+            # (reference slam_frontend.py:771-776 + backend reset :146-158)
+            Log("Keyframes lack sufficient overlap to initialize; resetting")
+            self._reset(idx, frame)
+            return
         self._spawn_gaussians(
             frame, jnp.asarray(self.poses_est[idx], jnp.float32),
             self.exposures[idx], init=False,
