@@ -609,6 +609,11 @@ class SLAM:
             self._init_deform(idx, frame)
         iter_per_kf = self.kf_iters
         step_after = 100 if iter_per_kf > 100 else -1
+        if self.dynamic and not self.deform_init and idx < self.dystart:
+            # pre-dystart dynamic runs use the short static mapping
+            # (reference map_static(iters=20), slam_backend.py:995-997)
+            iter_per_kf = 20
+            step_after = -1
         if not self.initialized:
             if len(self.window) == self.window_size:
                 iter_per_kf = 300
