@@ -118,19 +118,23 @@ def rasterize(
     )
 
     n = means3d.shape[0]
-    fields = jnp.stack(
+    fields_geo = jnp.stack(
         [
             sg.mean2d[:, 0], sg.mean2d[:, 1],
             sg.conic[:, 0], sg.conic[:, 1], sg.conic[:, 2],
-            sg.opacity,
-            sg.color[:, 0], sg.color[:, 1], sg.color[:, 2],
             sg.depth,
         ],
         axis=-1,
-    )  # (N, NUM_FIELDS) rows
-    fields = jnp.pad(fields, ((0, 1), (0, 0)))  # zero row for padding gid == n
+    )
+    fields_app = jnp.stack(
+        [sg.opacity, sg.color[:, 0], sg.color[:, 1], sg.color[:, 2]],
+        axis=-1,
+    )
+    fields_geo = jnp.pad(fields_geo, ((0, 1), (0, 0)))  # zero row: gid == n
+    fields_app = jnp.pad(fields_app, ((0, 1), (0, 0)))
     color_t, depth_t, tf_t, nt_t = composite_from_fields(
-        fields,
+        fields_geo,
+        fields_app,
         bins.pair_gid,
         bins.tile_count,
         bins.pair_tile,

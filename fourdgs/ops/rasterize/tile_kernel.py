@@ -43,8 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fourdgs.ops.rasterize.preprocess import ALPHA_MAX, ALPHA_MIN, T_EPS
 
-# pair-field row indices in the dense (FIELDS, K) block
-F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_DEPTH = range(10)
+# pair-field row indices in the dense (FIELDS, K) block. Geometry fields
+# (the camera-pose gradient chain) come first, appearance last, so the
+# fields enter the custom_vjp as two arrays and pose-only consumers
+# (tracking) let XLA DCE the appearance gradient reduction entirely.
+F_MX, F_MY, F_CA, F_CB, F_CC, F_DEPTH, F_OP, F_R, F_G, F_B = range(10)
+NUM_GEO = 6
 NUM_FIELDS = 10
 NCH = 3
 CHUNK = 128
@@ -294,15 +298,15 @@ def _composite_fwd_impl(pairs, tile_count, *, tx_n, ty_n, tile, img_w, img_h):
     return color, depth, t_final, nt[:, 0, :]
 
 
-def _pairs_from_fields(fields_rows, pair_gid, tile_start, tile_count, k):
+def _pairs_from_fields(fields_geo, fields_app, pair_gid, tile_start, tile_count, k):
     """Two-hop gather tuned for TPU gather throughput:
       1. fields (N+1, F) rows -> sorted-pair order (P, F): one row gather
          from a small (VMEM-resident) source,
       2. dense (num_tiles, K, F) blocks via vmapped dynamic_slice over the
          contiguous per-tile ranges — 1200 block copies at bandwidth
-         speed instead of a 1.2M-element gather.
-    fields_rows: (N+1, F)."""
+         speed instead of a 1.2M-element gather."""
     num_tiles = tile_start.shape[0]
+    fields_rows = jnp.concatenate([fields_geo, fields_app], axis=1)
     fields_sorted = fields_rows[pair_gid]                    # (P, F)
     fields_sorted = jnp.pad(fields_sorted, ((0, k), (0, 0)))  # slice overrun pad
 
@@ -348,50 +352,51 @@ def reduce_pairs_by_gaussian(
     return z[ends] - z[starts]
 
 
-def _cff_impl(fields_pad, pair_gid, tile_count, pair_tile, tile_start,
+def _cff_impl(fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
               bygid_perm, gid_start, gid_count,
               tx_n, ty_n, tile, img_w, img_h, k):
-    pairs = _pairs_from_fields(fields_pad, pair_gid, tile_start, tile_count, k)
+    pairs = _pairs_from_fields(fields_geo, fields_app, pair_gid, tile_start, tile_count, k)
     return _composite_fwd_impl(
         pairs, tile_count, tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def composite_from_fields(
-    fields_pad, pair_gid, tile_count, pair_tile, tile_start,
+    fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
     bygid_perm, gid_start, gid_count,
     tx_n, ty_n, tile, img_w, img_h, k,
 ):
-    """fields_pad (NUM_FIELDS, N+1) + binning index arrays ->
+    """fields_geo (N+1, 6) [mx,my,ca,cb,cc,depth] + fields_app (N+1, 4)
+    [op,r,g,b] + binning index arrays ->
     (color (T,npix,3), depth (T,npix), T_final (T,npix), n_touched (T,K))."""
     return _cff_impl(
-        fields_pad, pair_gid, tile_count, pair_tile, tile_start,
+        fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
         bygid_perm, gid_start, gid_count,
         tx_n, ty_n, tile, img_w, img_h, k,
     )
 
 
-def _cff_fwd(fields_pad, pair_gid, tile_count, pair_tile, tile_start,
+def _cff_fwd(fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
              bygid_perm, gid_start, gid_count,
              tx_n, ty_n, tile, img_w, img_h, k):
     outs = _cff_impl(
-        fields_pad, pair_gid, tile_count, pair_tile, tile_start,
+        fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
         bygid_perm, gid_start, gid_count,
         tx_n, ty_n, tile, img_w, img_h, k,
     )
-    res = (fields_pad, pair_gid, tile_count, pair_tile, tile_start,
+    res = (fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
            bygid_perm, gid_start, gid_count)
     return outs, res
 
 
 def _cff_bwd(tx_n, ty_n, tile, img_w, img_h, k, res, g):
-    (fields_pad, pair_gid, tile_count, pair_tile, tile_start,
+    (fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
      bygid_perm, gid_start, gid_count) = res
     g_color, g_depth, g_tf, _g_nt = g
     num_tiles = tile_start.shape[0]
     npix = tile * tile
-    pairs = _pairs_from_fields(fields_pad, pair_gid, tile_start, tile_count, k)
+    pairs = _pairs_from_fields(fields_geo, fields_app, pair_gid, tile_start, tile_count, k)
     gbuf = jnp.concatenate(
         [
             g_color,
@@ -425,11 +430,18 @@ def _cff_bwd(tx_n, ty_n, tile, img_w, img_h, k, res, g):
     )(tile_count, pairs, gbuf)
 
     drows = dpairs.transpose(0, 2, 1).reshape(num_tiles * k, NUM_FIELDS)
-    g_fields = reduce_pairs_by_gaussian(
-        drows, pair_tile, tile_start, bygid_perm, gid_start, gid_count,
-        num_tiles, k,
+    # independent reductions per field group: pose-only consumers
+    # (tracking) never read g_app, so XLA DCEs its gather — ~40% of the
+    # backward reduction traffic
+    g_geo = reduce_pairs_by_gaussian(
+        drows[:, :NUM_GEO], pair_tile, tile_start, bygid_perm,
+        gid_start, gid_count, num_tiles, k,
     )
-    return (g_fields, None, None, None, None, None, None, None)
+    g_app = reduce_pairs_by_gaussian(
+        drows[:, NUM_GEO:], pair_tile, tile_start, bygid_perm,
+        gid_start, gid_count, num_tiles, k,
+    )
+    return (g_geo, g_app, None, None, None, None, None, None, None)
 
 
 composite_from_fields.defvjp(_cff_fwd, _cff_bwd)
