@@ -1,0 +1,85 @@
+import numpy as np
+
+from fourdgs.slam.camera import Intrinsics
+from fourdgs.slam.keyframes import (
+    add_to_window,
+    is_keyframe,
+    keyframe_selection_overlap,
+)
+
+INTR = Intrinsics(fx=60.0, fy=60.0, cx=31.5, cy=23.5, width=64, height=48)
+
+
+def _pose(t):
+    T = np.eye(4)
+    T[:3, 3] = t
+    return T
+
+
+def test_is_keyframe_translation_trigger():
+    vis = np.ones(100, bool)
+    # big translation vs median depth -> keyframe regardless of overlap
+    assert is_keyframe(
+        _pose([0.5, 0, 0]), _pose([0, 0, 0]), 2.0, vis, vis,
+        kf_translation=0.08, kf_min_translation=0.05, kf_overlap=0.9,
+    )
+    # tiny translation + full overlap -> no keyframe
+    assert not is_keyframe(
+        _pose([0.01, 0, 0]), _pose([0, 0, 0]), 2.0, vis, vis,
+        kf_translation=0.08, kf_min_translation=0.05, kf_overlap=0.9,
+    )
+
+
+def test_is_keyframe_overlap_trigger():
+    a = np.zeros(100, bool)
+    a[:50] = True
+    b = np.zeros(100, bool)
+    b[40:90] = True  # IoU = 10/90 < 0.9
+    assert is_keyframe(
+        _pose([0.15, 0, 0]), _pose([0, 0, 0]), 2.0, a, b,
+        kf_translation=1e9, kf_min_translation=0.05, kf_overlap=0.9,
+    )
+
+
+def test_add_to_window_evicts_low_overlap():
+    vis_cur = np.zeros(100, bool)
+    vis_cur[:50] = True
+    occ = {
+        1: vis_cur.copy(),           # high overlap
+        2: ~vis_cur,                 # zero overlap -> eviction candidate
+        3: vis_cur.copy(),
+    }
+    poses = {i: _pose([0.1 * i, 0, 0]) for i in range(5)}
+    window, removed = add_to_window(
+        4, vis_cur, occ, [3, 1, 2], poses, kf_cutoff=0.3, window_size=8,
+    )
+    assert removed == 2
+    assert window[0] == 4 and 2 not in window
+
+
+def test_add_to_window_size_eviction():
+    vis = np.ones(50, bool)
+    occ = {i: vis for i in range(10)}
+    poses = {i: _pose([0.05 * i, 0, 0]) for i in range(10)}
+    window = [8, 7, 6, 5, 4, 3, 2, 1]
+    w2, removed = add_to_window(
+        9, vis, occ, window, poses, kf_cutoff=0.0, window_size=8,
+    )
+    assert len(w2) == 8
+    assert removed is not None and removed not in w2
+    assert w2[0] == 9
+
+
+def test_keyframe_selection_overlap_ranks_nearby():
+    rng = np.random.default_rng(0)
+    depth = np.full((48, 64), 2.0, np.float32)
+    T0 = _pose([0, 0, 0])
+    candidates = {
+        1: _pose([0.05, 0, 0]),   # sees almost everything
+        2: _pose([5.0, 0, 0]),    # sees nothing
+    }
+    picks = keyframe_selection_overlap(
+        depth, T0, INTR, candidates, before_uid=10, max_selected=2, rng=rng,
+    )
+    assert 1 in picks
+    assert 2 not in picks
