@@ -380,23 +380,25 @@ def composite_from_fields(
 def _cff_fwd(fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
              bygid_perm, gid_start, gid_count,
              tx_n, ty_n, tile, img_w, img_h, k):
-    outs = _cff_impl(
-        fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
-        bygid_perm, gid_start, gid_count,
-        tx_n, ty_n, tile, img_w, img_h, k,
+    # save the dense pair blocks as the residual (T*K*10 f32, ~25 MB at
+    # production shapes) so the backward pass skips rebuilding them
+    pairs = _pairs_from_fields(fields_geo, fields_app, pair_gid, tile_start,
+                               tile_count, k)
+    outs = _composite_fwd_impl(
+        pairs, tile_count, tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w,
+        img_h=img_h,
     )
-    res = (fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
+    res = (pairs, fields_geo.shape[0], tile_count, pair_tile, tile_start,
            bygid_perm, gid_start, gid_count)
     return outs, res
 
 
 def _cff_bwd(tx_n, ty_n, tile, img_w, img_h, k, res, g):
-    (fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
+    (pairs, _n_pad, tile_count, pair_tile, tile_start,
      bygid_perm, gid_start, gid_count) = res
     g_color, g_depth, g_tf, _g_nt = g
     num_tiles = tile_start.shape[0]
     npix = tile * tile
-    pairs = _pairs_from_fields(fields_geo, fields_app, pair_gid, tile_start, tile_count, k)
     gbuf = jnp.concatenate(
         [
             g_color,
