@@ -247,9 +247,12 @@ def insert(
     reference gaussian_model.py:833-871: new Gaussians with zeroed Adam
     moments and reset densification stats). Overflow beyond capacity is
     dropped; returns the number actually inserted."""
-    p = new.valid.shape[0]
+    # candidate batches larger than the capacity keep their first
+    # `capacity` valid entries (overflow drops, like the reference would
+    # OOM-free by construction)
+    p = min(new.valid.shape[0], gmap.capacity)
     # stable: valid candidates first
-    cand_order = jnp.argsort(~new.valid, stable=True)
+    cand_order = jnp.argsort(~new.valid, stable=True)[:p]
     valid_sorted = new.valid[cand_order]
     # dead slots first
     slot_order = jnp.argsort(gmap.alive, stable=True)
@@ -449,8 +452,8 @@ def densify_and_prune(
 def insert_raw(gmap, adam, new: NewGaussians, kf_src: jax.Array, dy_src: jax.Array):
     """insert() variant carrying per-candidate kf_id/dygs (for clone/split
     which inherit bookkeeping from their source Gaussian)."""
-    pcount = new.valid.shape[0]
-    cand_order = jnp.argsort(~new.valid, stable=True)
+    pcount = min(new.valid.shape[0], gmap.capacity)
+    cand_order = jnp.argsort(~new.valid, stable=True)[:pcount]
     valid_sorted = new.valid[cand_order]
     slot_order = jnp.argsort(gmap.alive, stable=True)
     slots = slot_order[:pcount]

@@ -28,6 +28,17 @@ class ConfigDict(dict):
     def __setattr__(self, name: str, value: Any) -> None:
         self[name] = value
 
+    def to_plain(self) -> dict:
+        return ConfigDict.unwrap(self)
+
+    @staticmethod
+    def unwrap(obj: Any) -> Any:
+        if isinstance(obj, dict):
+            return {k: ConfigDict.unwrap(v) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [ConfigDict.unwrap(v) for v in obj]
+        return obj
+
     @staticmethod
     def wrap(obj: Any) -> Any:
         if isinstance(obj, dict):

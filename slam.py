@@ -49,7 +49,7 @@ def main(argv=None):
         save_dir = os.path.join(config["Results"]["save_dir"], f"{name}_{stamp}")
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, "config.yml"), "w") as f:
-            yaml.safe_dump({k: v for k, v in config.items()}, f)
+            yaml.safe_dump(config.to_plain(), f)
 
     from fourdgs.slam.runner import SLAM
 
