@@ -490,6 +490,11 @@ class SLAM:
         )
         for i, kf in enumerate(self.window[: self.map_cfg.num_window_views]):
             self.occ_visibility[kf] = vis[i]
+        # n_obs: per-Gaussian count of window views seeing it (reference
+        # prune pass, slam_backend.py:709-712)
+        self.gmap = self.gmap._replace(
+            n_obs=jnp.asarray(vis.sum(axis=0), jnp.int32)
+        )
         for kf in key_opt:
             slot = self.kf_slot[kf]
             self.poses_est[kf] = np.asarray(self.store.T_cw[slot])
@@ -814,6 +819,49 @@ class SLAM:
             dump_images=bool(self.save_dir),
             novel_render_fn=novel_at if self.save_dir else None,
         )
+
+    def save_checkpoint(self, path: str):
+        """Full mid-run state (map + Adam + keyframes + host bookkeeping) —
+        resume support the reference lacks (SURVEY §5: save-only)."""
+        from fourdgs.io.checkpoint import save_state
+
+        host = {
+            "iteration_count": self.iteration_count,
+            "kf_indices": self.kf_indices,
+            "window": self.window,
+            "kf_slot": {str(k): v for k, v in self.kf_slot.items()},
+            "poses_est": {str(k): v.tolist() for k, v in self.poses_est.items()},
+            "exposures": {str(k): v.tolist() for k, v in self.exposures.items()},
+            "initialized": self.initialized,
+            "median_depth": self.median_depth,
+        }
+        save_state(path, self.gmap, self.adam, self.store, host)
+
+    def load_checkpoint(self, path: str):
+        from fourdgs.io.checkpoint import load_state
+
+        self.gmap, self.adam, self.store, host = load_state(
+            path, self.gmap, self.adam, self.store
+        )
+        self.iteration_count = host["iteration_count"]
+        self.kf_indices = list(host["kf_indices"])
+        self.window = list(host["window"])
+        self.kf_slot = {int(k): v for k, v in host["kf_slot"].items()}
+        self.poses_est = {
+            int(k): np.asarray(v) for k, v in host["poses_est"].items()
+        }
+        self.exposures = {
+            int(k): np.asarray(v) for k, v in host["exposures"].items()
+        }
+        self.initialized = host["initialized"]
+        self.median_depth = host["median_depth"]
+        # occ visibility is recomputable; refresh for the current window
+        for kf in self.window:
+            out = render_keyframe(
+                self.gmap, self.store, jnp.int32(self.kf_slot[kf]),
+                self.intr, self.map_cfg,
+            )
+            self.occ_visibility[kf] = np.asarray(out.n_touched > 0)
 
     def save(self, label: str = "final"):
         if not self.save_dir:

@@ -29,7 +29,11 @@ def main(argv=None):
     parser.add_argument("--dynamic", action="store_true")
     parser.add_argument("--interval", type=int, default=50)
     parser.add_argument("--max-frames", type=int, default=None)
-    parser.add_argument("--capacity", type=int, default=1 << 17)
+    parser.add_argument("--capacity", type=int, default=1 << 14)
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="save full state here after the run")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="load full state from a checkpoint before running")
     args = parser.parse_args(argv)
 
     from fourdgs.utils.config import load_config
@@ -61,7 +65,13 @@ def main(argv=None):
         max_frames=args.max_frames,
         capacity=args.capacity,
     )
+    if args.resume:
+        slam.load_checkpoint(args.resume)
+        Log(f"Resumed from {args.resume} (iteration {slam.iteration_count})")
     metrics = slam.run()
+    if args.checkpoint:
+        slam.save_checkpoint(args.checkpoint)
+        Log(f"Checkpoint saved to {args.checkpoint}")
 
     if config["Results"].get("eval_rendering", False):
         ate = slam.eval_ate("final")
