@@ -16,7 +16,6 @@ motion_mask). Differences by design:
 
 from __future__ import annotations
 
-import os
 from typing import Callable, Optional
 
 import numpy as np

@@ -13,7 +13,6 @@ import threading
 from typing import Iterator
 
 import jax
-import jax.numpy as jnp
 
 from fourdgs.slam.camera import Frame, make_frame
 

@@ -6,7 +6,6 @@ thinning match the reference TUMParser (utils/dataset.py:85-180).
 
 from __future__ import annotations
 
-import glob
 import os
 
 import numpy as np

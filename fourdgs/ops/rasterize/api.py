@@ -18,9 +18,8 @@ import jax.numpy as jnp
 
 from fourdgs.ops.rasterize.binning import bin_gaussians, tile_grid
 from fourdgs.ops.rasterize.oracle import RenderOutputs, composite_oracle
-from fourdgs.ops.rasterize.preprocess import ScreenGaussians, preprocess
+from fourdgs.ops.rasterize.preprocess import preprocess
 from fourdgs.ops.rasterize.tile_kernel import (
-    NUM_FIELDS,
     composite_from_fields,
     reduce_pairs_by_gaussian,
 )

@@ -16,14 +16,12 @@ dryrun_multichip hook.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from fourdgs.models.gaussian_map import GaussianMap, GaussianParams, MapLRs
+from fourdgs.models.gaussian_map import GaussianParams, MapLRs
 from fourdgs.ops.rasterize import RasterConfig, rasterize
 from fourdgs.slam.camera import Intrinsics
 from fourdgs.slam.losses import mapping_loss_rgbd
