@@ -173,7 +173,17 @@ def _bwd_kernel(count_ref, pairs_ref, g_ref, dpairs_ref, acc_ref, pref_ref,
     dpairs_ref[0, :, :] = jnp.zeros((NUM_FIELDS, k), jnp.float32)
     acc_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)
 
-    # ---- pass 1: totals (weighted color/depth sums and final T) ----
+    def payload(q):
+        """u_i = sum_ch g_ch * c_ch,i + g_d * depth_i. All four output
+        channels share one suffix chain: sum_ch g_ch*S_ch + g_d*S_d =
+        suffix(w*u), so the backward needs ONE cumsum matmul per chunk
+        instead of four."""
+        u = g_d * pairs_ref[0, F_DEPTH, q["sl"]][None, :]
+        for ch, f in enumerate((F_R, F_G, F_B)):
+            u = u + g_c[:, ch:ch + 1] * pairs_ref[0, f, q["sl"]][None, :]
+        return u
+
+    # ---- pass 1: totals (combined weighted payload sum and final T) ----
     for c in range(k // CHUNK):
         @pl.when(c * CHUNK < count)
         def _p1():
@@ -184,29 +194,24 @@ def _bwd_kernel(count_ref, pairs_ref, g_ref, dpairs_ref, acc_ref, pref_ref,
             t_incl = jnp.exp(cum)
             applied = q["valid"] & (t_incl >= T_EPS)
             w = jnp.where(applied, q["alpha"] * jnp.exp(cum - q["la"]), 0.0)
-            for ch, f in enumerate((F_R, F_G, F_B)):
-                cch = pairs_ref[0, f, q["sl"]][None, :]
-                acc_ref[:, ch:ch + 1] += jnp.sum(w * cch, axis=1, keepdims=True)
-            dep = pairs_ref[0, F_DEPTH, q["sl"]][None, :]
-            acc_ref[:, A_D:A_D + 1] += jnp.sum(w * dep, axis=1, keepdims=True)
+            acc_ref[:, 0:1] += jnp.sum(w * payload(q), axis=1, keepdims=True)
             acc_ref[:, A_LA:A_LA + 1] += jnp.sum(
                 jnp.where(applied, q["la"], 0.0), axis=1, keepdims=True
             )
             acc_ref[:, A_CUM:A_CUM + 1] = cum[:, CHUNK - 1:CHUNK]
 
-    c_tot = [acc_ref[:, ch:ch + 1] for ch in range(NCH)]
-    d_tot = acc_ref[:, A_D:A_D + 1]
+    u_tot = acc_ref[:, 0:1]
     t_final = jnp.exp(acc_ref[:, A_LA:A_LA + 1])
 
     # ---- pass 2: per-pair gradients ----
-    # pref_ref columns: [pref_wc_r, pref_wc_g, pref_wc_b, pref_wd, cum, _, _, _]
+    # pref_ref columns: [pref_wu, cum, _, ...]
     pref_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)
     for c in range(k // CHUNK):
         @pl.when(c * CHUNK < count)
         def _p2():
             q = _chunk_quantities(pairs_ref, c * CHUNK, px, py)
             la = q["la"]
-            cum = pref_ref[:, 4:5] + jnp.dot(
+            cum = pref_ref[:, 1:2] + jnp.dot(
                 la, tri, preferred_element_type=jnp.float32
             )
             t_incl = jnp.exp(cum)
@@ -214,32 +219,20 @@ def _bwd_kernel(count_ref, pairs_ref, g_ref, dpairs_ref, acc_ref, pref_ref,
             t_before = jnp.exp(cum - la)
             w = jnp.where(applied, q["alpha"] * t_before, 0.0)
 
-            one_m_a = 1.0 - q["alpha"]
-            inv_1ma = 1.0 / jnp.maximum(one_m_a, 1e-6)
+            inv_1ma = 1.0 / jnp.maximum(1.0 - q["alpha"], 1e-6)
 
-            dep = pairs_ref[0, F_DEPTH, q["sl"]][None, :]
-            wd = w * dep
-            pref_wd_in = pref_ref[:, 3:4] + jnp.dot(
-                wd, tri, preferred_element_type=jnp.float32
+            u = payload(q)
+            wu = w * u
+            pref_wu_in = pref_ref[:, 0:1] + jnp.dot(
+                wu, tri, preferred_element_type=jnp.float32
             )
-            suffix_d = d_tot - pref_wd_in
-
-            dalpha = g_d * (dep * t_before - suffix_d * inv_1ma)
-            dalpha = dalpha - g_tf * t_final * inv_1ma
-
-            d_c_rows = []
-            for ch, f in enumerate((F_R, F_G, F_B)):
-                cch = pairs_ref[0, f, q["sl"]][None, :]
-                wc = w * cch
-                pref_in = pref_ref[:, ch:ch + 1] + jnp.dot(
-                    wc, tri, preferred_element_type=jnp.float32
-                )
-                suffix_c = c_tot[ch] - pref_in
-                g_ch = g_c[:, ch:ch + 1]
-                dalpha = dalpha + g_ch * (cch * t_before - suffix_c * inv_1ma)
-                d_c_rows.append(jnp.sum(g_ch * w, axis=0, keepdims=True))
-                pref_ref[:, ch:ch + 1] = pref_in[:, CHUNK - 1:CHUNK]
-            pref_ref[:, 3:4] = pref_wd_in[:, CHUNK - 1:CHUNK]
+            suffix_u = u_tot - pref_wu_in
+            dalpha = (
+                u * t_before
+                - suffix_u * inv_1ma
+                - g_tf * t_final * inv_1ma
+            )
+            pref_ref[:, 0:1] = pref_wu_in[:, CHUNK - 1:CHUNK]
 
             unclamped = (q["raw"] < ALPHA_MAX).astype(jnp.float32)
             dalpha = jnp.where(applied, dalpha, 0.0) * unclamped
@@ -254,12 +247,12 @@ def _bwd_kernel(count_ref, pairs_ref, g_ref, dpairs_ref, acc_ref, pref_ref,
             dpairs_ref[0, F_CC, sl] = jnp.sum(-0.5 * dy * dy * dpower, axis=0, keepdims=True)[0, :]
             dpairs_ref[0, F_MX, sl] = jnp.sum(-(ca * dx + cb * dy) * dpower, axis=0, keepdims=True)[0, :]
             dpairs_ref[0, F_MY, sl] = jnp.sum(-(cc * dy + cb * dx) * dpower, axis=0, keepdims=True)[0, :]
-            dpairs_ref[0, F_R, sl] = d_c_rows[0][0, :]
-            dpairs_ref[0, F_G, sl] = d_c_rows[1][0, :]
-            dpairs_ref[0, F_B, sl] = d_c_rows[2][0, :]
+            dpairs_ref[0, F_R, sl] = jnp.sum(g_c[:, 0:1] * w, axis=0, keepdims=True)[0, :]
+            dpairs_ref[0, F_G, sl] = jnp.sum(g_c[:, 1:2] * w, axis=0, keepdims=True)[0, :]
+            dpairs_ref[0, F_B, sl] = jnp.sum(g_c[:, 2:3] * w, axis=0, keepdims=True)[0, :]
             dpairs_ref[0, F_DEPTH, sl] = jnp.sum(g_d * w, axis=0, keepdims=True)[0, :]
 
-            pref_ref[:, 4:5] = cum[:, CHUNK - 1:CHUNK]
+            pref_ref[:, 1:2] = cum[:, CHUNK - 1:CHUNK]
 
 
 def _composite_fwd_impl(pairs, tile_count, *, tx_n, ty_n, tile, img_w, img_h):
