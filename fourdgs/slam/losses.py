@@ -173,3 +173,24 @@ def median_depth(depth: jax.Array, opacity: jax.Array | None = None, mask: jax.A
     med = jnp.nanmedian(vals)
     std = jnp.sqrt(jnp.nanmean((vals - med) ** 2))
     return med, std, valid
+
+
+def depth_smoothness_loss(depth: jax.Array, gt_image: jax.Array) -> jax.Array:
+    """Edge-aware depth smoothness (reference depth_reg,
+    utils/slam_utils.py:42-55): depth gradients weighted by
+    exp(-10 * image-gradient^2) on valid-gradient pixels."""
+    from fourdgs.ops.image import image_gradient, image_gradient_mask
+
+    gray = jnp.mean(gt_image, axis=0, keepdims=True)
+    gray_v, gray_h = image_gradient(gray)
+    d = depth[None]
+    mask_v, mask_h = image_gradient_mask(d)
+    depth_v, depth_h = image_gradient(d)
+    w_v = jnp.exp(-10.0 * gray_v**2) * mask_v
+    w_h = jnp.exp(-10.0 * gray_h**2) * mask_h
+    nv = jnp.maximum(jnp.sum(mask_v), 1.0)
+    nh = jnp.maximum(jnp.sum(mask_h), 1.0)
+    return (
+        jnp.sum(w_h * jnp.abs(depth_h)) / nh
+        + jnp.sum(w_v * jnp.abs(depth_v)) / nv
+    )

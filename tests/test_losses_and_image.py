@@ -155,3 +155,18 @@ def test_median_depth():
     mask = depth <= 10
     med2, _, _ = median_depth(depth, opacity, mask)
     assert 5.0 <= float(med2) <= 6.0
+
+
+def test_depth_smoothness_loss():
+    from fourdgs.slam.losses import depth_smoothness_loss
+
+    img = jnp.full((3, 32, 32), 0.5)
+    flat = jnp.full((32, 32), 2.0)
+    assert float(depth_smoothness_loss(flat, img)) < 1e-6
+    bumpy = flat.at[:, 16:].set(3.0)
+    assert float(depth_smoothness_loss(bumpy, img)) > 1e-3
+    # depth discontinuities at image edges are not penalized
+    img_edge = img.at[:, :, 16:].set(1.0)
+    l_edge = float(depth_smoothness_loss(bumpy, img_edge))
+    l_flat_img = float(depth_smoothness_loss(bumpy, img))
+    assert l_edge < l_flat_img
