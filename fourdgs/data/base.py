@@ -111,8 +111,11 @@ class BaseDataset:
             dynamic = np.zeros((h, w), bool)
             if self.mask_fn is not None:
                 try:
-                    # stateful geometric segmenters consume depth + pose
-                    dynamic = self.mask_fn(img_u8, depth, pose)
+                    # stateful geometric segmenters consume depth; their
+                    # pose comes from their own pose_provider (tracked
+                    # estimates) — the dataset NEVER leaks GT poses into
+                    # segmentation
+                    dynamic = self.mask_fn(img_u8, depth)
                 except TypeError:
                     dynamic = self.mask_fn(img_u8)
             self._mask_cache[idx] = dynamic

@@ -23,10 +23,28 @@ _LPIPS = None
 
 
 def _lpips_fn():
-    """Best-effort LPIPS(alex). Returns None if weights are unavailable."""
+    """LPIPS(alex): the native JAX implementation (fourdgs/eval/lpips.py)
+    when a weights file resolves (npz or converted torch checkpoint —
+    see lpips.load_weights), else the torchmetrics fallback, else None."""
     global _LPIPS
     if _LPIPS is not None:
         return _LPIPS if _LPIPS != "unavailable" else None
+    try:
+        from fourdgs.eval.lpips import lpips_pair, load_weights
+
+        w = load_weights()
+        if w is not None:
+            def fn(a: np.ndarray, b: np.ndarray) -> float:
+                import jax.numpy as jnp
+
+                return float(lpips_pair(
+                    w, jnp.clip(jnp.asarray(a), 0, 1), jnp.clip(jnp.asarray(b), 0, 1)
+                ))
+
+            _LPIPS = fn
+            return fn
+    except Exception:
+        pass
     try:
         import torch
         from torchmetrics.image.lpips import LearnedPerceptualImagePatchSimilarity

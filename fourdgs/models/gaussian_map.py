@@ -215,13 +215,21 @@ def adam_step(
     )
 
 
-def expon_lr(step, lr_init, lr_final, lr_delay_mult=0.01, max_steps=30000):
-    """3DGS exponential LR schedule (reference
-    gaussian_splatting/utils/general_utils.py get_expon_lr_func)."""
+def expon_lr(step, lr_init, lr_final, lr_delay_steps=0, lr_delay_mult=1.0,
+             max_steps=30000):
+    """3DGS exponential LR schedule (reference `helper`,
+    gaussian_splatting/scene/gaussian_model.py:79-97): log-linear
+    interpolation lr_init -> lr_final over max_steps. The delay easing
+    only applies when lr_delay_steps > 0 — the reference's
+    update_learning_rate call leaves it at the default 0, so delay_rate
+    is 1.0 there."""
     t = jnp.clip(step / max_steps, 0.0, 1.0)
-    delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
-        0.5 * jnp.pi * jnp.clip(step / max_steps, 0, 1)
-    )
+    if lr_delay_steps > 0:
+        delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+            0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0, 1)
+        )
+    else:
+        delay = 1.0
     return delay * jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
 
 

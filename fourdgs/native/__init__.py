@@ -47,6 +47,11 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8),
             ]
             lib.voxel_downsample.restype = ctypes.c_int64
+            lib.region_filter.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -99,3 +104,42 @@ def voxel_downsample_mask(points: np.ndarray, voxel: float) -> np.ndarray:
     keep = np.zeros(n, bool)
     keep[first] = True
     return keep
+
+
+def region_filter(mask: np.ndarray, min_region: int) -> np.ndarray:
+    """Keep only 4-connected True regions with >= min_region pixels
+    (native union-find; numpy BFS fallback). Used by the motion
+    segmenter's per-frame region filtering."""
+    m = np.ascontiguousarray(mask.astype(np.uint8))
+    h, w = m.shape
+    lib = _load()
+    if lib is not None:
+        out = np.empty(h * w, np.uint8)
+        lib.region_filter(
+            m.reshape(-1).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            h, w, min_region,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out.reshape(h, w).astype(bool)
+    # numpy fallback: BFS labeling
+    seen = np.zeros((h, w), bool)
+    out = np.zeros((h, w), bool)
+    mb = mask.astype(bool)
+    for sy in range(h):
+        for sx in range(w):
+            if not mb[sy, sx] or seen[sy, sx]:
+                continue
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            comp = []
+            while stack:
+                y, x = stack.pop()
+                comp.append((y, x))
+                for ny, nx in ((y-1,x),(y+1,x),(y,x-1),(y,x+1)):
+                    if 0 <= ny < h and 0 <= nx < w and mb[ny, nx] and not seen[ny, nx]:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+            if len(comp) >= min_region:
+                for y, x in comp:
+                    out[y, x] = True
+    return out

@@ -148,4 +148,42 @@ int64_t voxel_downsample(const float* points, int64_t n, float voxel,
   return kept;
 }
 
+
+// mask: (h*w,) uint8 binary; out: (h*w,) uint8. Keeps only 4-connected
+// regions with at least `min_region` pixels (union-find). Host-side
+// counterpart of scipy.ndimage.label + size filtering used by the
+// motion segmenter (reference uses scipy at utils/camera_utils.py via
+// scipy.ndimage.label in MotionSegmenter-equivalent paths).
+void region_filter(const uint8_t* mask, int64_t h, int64_t w,
+                   int64_t min_region, uint8_t* out) {
+  const int64_t n = h * w;
+  std::vector<int64_t> parent(n);
+  for (int64_t i = 0; i < n; ++i) parent[i] = i;
+  // iterative find with path halving
+  auto find = [&](int64_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  };
+  auto unite = [&](int64_t a, int64_t b) {
+    a = find(a); b = find(b);
+    if (a != b) parent[b] = a;
+  };
+  for (int64_t y = 0; y < h; ++y) {
+    for (int64_t x = 0; x < w; ++x) {
+      int64_t i = y * w + x;
+      if (!mask[i]) continue;
+      if (x > 0 && mask[i - 1]) unite(i - 1, i);
+      if (y > 0 && mask[i - w]) unite(i - w, i);
+    }
+  }
+  std::unordered_map<int64_t, int64_t> count;
+  for (int64_t i = 0; i < n; ++i)
+    if (mask[i]) ++count[find(i)];
+  for (int64_t i = 0; i < n; ++i)
+    out[i] = (mask[i] && count[find(i)] >= min_region) ? 1 : 0;
+}
+
 }  // extern "C"

@@ -13,6 +13,7 @@ Shares all backbone ops with fourdgs.perception.raft.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -45,8 +46,8 @@ def make_gma_params(key=None) -> dict:
     cor_planes = CORR_LEVELS * (2 * CORR_RADIUS + 1) ** 2
     dim_head = 128
     params = {
-        "fnet": _encoder(ks[0], 256, True),
-        "cnet": _encoder(ks[1], HDIM + CDIM, False),
+        "fnet": _encoder(ks[0], 256, "instance"),
+        "cnet": _encoder(ks[1], HDIM + CDIM, "batch"),
         "att": {
             "to_qk": _conv(ks[2], CDIM, 2 * dim_head, 1),
             "gamma": jnp.zeros(()),
@@ -107,6 +108,8 @@ def aggregate(att, attn, motion):
     _, c, h, w = v.shape
     vf = v.reshape(c, h * w).T         # (HW, C)
     out = (attn @ vf).T.reshape(1, c, h, w)
+    if att.get("project") is not None:
+        out = conv2d(att["project"], out)
     return motion + att["gamma"] * out
 
 
@@ -158,3 +161,88 @@ def gma_forward(params, image1, image2, iters: int = 20):
 
     (net, coords1), masks = lax.scan(step, (net, coords0), None, length=iters)
     return _upsample_flow(coords1 - coords0, masks[-1])
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion + provider
+# ---------------------------------------------------------------------------
+
+GMA_WEIGHTS_PATHS = [
+    "pretrained/gma-things.pth",
+    os.path.expanduser("~/.cache/fourdgs/gma-things.pth"),
+]
+
+
+def convert_state_dict_gma(sd) -> dict:
+    """Convert a torch RAFTGMA state_dict (reference GMA/network.py:29+,
+    DataParallel 'module.' keys) into this module's parameter pytree.
+    The aggregator's to_v/gamma live under update_block.aggregator, the
+    attention's to_qk under att (GMA/gma.py:34-123; to_qk/to_v are
+    bias-free convs). The relative-position embeddings (att.pos_emb.*)
+    are unused with the reference's default args (position_only=False,
+    position_and_content=False — network.py:45-46) and are skipped."""
+    from fourdgs.perception.raft import (
+        _strip_module,
+        convert_encoder,
+        convert_update_block,
+        put_conv,
+    )
+
+    sd = _strip_module(sd)
+    params = make_gma_params()
+    convert_encoder(sd, params["fnet"], "fnet")
+    convert_encoder(sd, params["cnet"], "cnet")
+    convert_update_block(sd, params["update"])
+    put_conv(sd, params["att"]["to_qk"], "att.to_qk")
+    put_conv(sd, params["att"]["to_v"], "update_block.aggregator.to_v")
+    params["att"]["gamma"] = jnp.asarray(
+        np.asarray(sd["update_block.aggregator.gamma"]).reshape(())
+    )
+    if "update_block.aggregator.project.weight" in sd:
+        params["att"]["project"] = {
+            "weight": jnp.asarray(sd["update_block.aggregator.project.weight"]),
+            "bias": jnp.zeros(sd["update_block.aggregator.project.weight"].shape[0]),
+        }
+    return params
+
+
+def load_torch_weights_gma(path: str) -> dict:
+    import torch
+
+    return convert_state_dict_gma(torch.load(path, map_location="cpu"))
+
+
+class GmaFlowProvider:
+    """GMA flow provider, selectable by the runner per config (the
+    reference's generate_flow swap point, utils/camera_utils.py:368-407
+    where the RAFT import can be replaced by GMA)."""
+
+    def __init__(self, weights_path: str | None = None, iters: int = 12):
+        from fourdgs.perception.raft import pad_to_multiple  # noqa: F401
+
+        path = weights_path
+        if path is None:
+            for cand in GMA_WEIGHTS_PATHS:
+                if os.path.exists(cand):
+                    path = cand
+                    break
+        if path is None:
+            raise FileNotFoundError(
+                "gma-things.pth not found (no network egress to fetch it)"
+            )
+        self.params = load_torch_weights_gma(path)
+        self.iters = iters
+
+    def _run(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        from fourdgs.perception.raft import pad_to_multiple
+
+        x1, (h, w) = pad_to_multiple(a[None] * 255.0)
+        x2, _ = pad_to_multiple(b[None] * 255.0)
+        flow = gma_forward(
+            self.params, jnp.asarray(x1), jnp.asarray(x2), iters=self.iters
+        )
+        return np.asarray(flow[0, :, :h, :w]).transpose(1, 2, 0)
+
+    def __call__(self, uid1, uid2, img1, img2):
+        # fwd: pair->view, bwd: view->pair (see FlowCache)
+        return self._run(img2, img1), self._run(img1, img2)

@@ -40,30 +40,41 @@ def _conv(key, cin, cout, k):
     return {"weight": w, "bias": jnp.zeros(cout)}
 
 
-def _inorm(c):
-    return {"weight": jnp.ones(c), "bias": jnp.zeros(c)}
+def _norm(c, kind: str):
+    """Norm params: instance = affine only; batch = affine + frozen
+    running stats (inference mode — RAFT freezes BN at eval,
+    RAFT/raft.py:59-62); none = None."""
+    if kind == "none":
+        return None
+    p = {"weight": jnp.ones(c), "bias": jnp.zeros(c)}
+    if kind == "batch":
+        p["mean"] = jnp.zeros(c)
+        p["var"] = jnp.ones(c)
+    return p
 
 
-def _resblock(key, cin, cout, stride, norm=True):
+def _resblock(key, cin, cout, stride, norm: str = "instance"):
     ks = jax.random.split(key, 3)
     p = {
         "conv1": _conv(ks[0], cin, cout, 3),
         "conv2": _conv(ks[1], cout, cout, 3),
-        "norm1": _inorm(cout) if norm else None,
-        "norm2": _inorm(cout) if norm else None,
+        "norm1": _norm(cout, norm),
+        "norm2": _norm(cout, norm),
     }
     if stride != 1 or cin != cout:
         p["downsample"] = _conv(ks[2], cin, cout, 1)
-        p["norm3"] = _inorm(cout) if norm else None
+        p["norm3"] = _norm(cout, norm)
     return p
 
 
-def _encoder(key, out_dim, norm: bool):
-    """fnet uses instance norm; cnet norm_fn='none' (RAFT/raft.py:36-44)."""
+def _encoder(key, out_dim, norm: str):
+    """fnet uses instance norm, cnet BATCH norm (BasicEncoder norm_fn,
+    RAFT/raft.py:54-55; GMA/network.py:57-58) — batch norms run frozen
+    (eval mode) with converted running stats."""
     ks = jax.random.split(key, 9)
     return {
         "conv1": _conv(ks[0], 3, 64, 7),
-        "norm1": _inorm(64) if norm else None,
+        "norm1": _norm(64, norm),
         "layer1": [_resblock(ks[1], 64, 64, 1, norm), _resblock(ks[2], 64, 64, 1, norm)],
         "layer2": [_resblock(ks[3], 64, 96, 2, norm), _resblock(ks[4], 96, 96, 1, norm)],
         "layer3": [_resblock(ks[5], 96, 128, 2, norm), _resblock(ks[6], 128, 128, 1, norm)],
@@ -76,8 +87,8 @@ def init_raft_params(key=None) -> dict:
     ks = jax.random.split(key, 16)
     cor_planes = CORR_LEVELS * (2 * CORR_RADIUS + 1) ** 2  # 324
     return {
-        "fnet": _encoder(ks[0], 256, True),
-        "cnet": _encoder(ks[1], HDIM + CDIM, False),
+        "fnet": _encoder(ks[0], 256, "instance"),
+        "cnet": _encoder(ks[1], HDIM + CDIM, "batch"),
         "update": {
             "enc_convc1": _conv(ks[2], cor_planes, 256, 1),
             "enc_convc2": _conv(ks[3], 256, 192, 3),
@@ -127,7 +138,14 @@ def make_params(key=None) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def conv2d(p, x, stride=1, padding="SAME"):
+def conv2d(p, x, stride=1, padding=None):
+    """torch-semantics conv: explicit symmetric k//2 padding. XLA's
+    "SAME" pads asymmetrically for stride>1 ((lo, hi) = (2, 3) for a
+    7x7/2 conv) while torch pads (3, 3) — that one-pixel misalignment
+    breaks checkpoint parity in every strided conv."""
+    kh, kw = p["weight"].shape[2], p["weight"].shape[3]
+    if padding is None:
+        padding = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
     out = lax.conv_general_dilated(
         x, p["weight"], (stride, stride), padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
@@ -135,9 +153,15 @@ def conv2d(p, x, stride=1, padding="SAME"):
     return out + p["bias"][None, :, None, None]
 
 
-def instance_norm(p, x, eps=1e-5):
-    mean = jnp.mean(x, axis=(2, 3), keepdims=True)
-    var = jnp.var(x, axis=(2, 3), keepdims=True)
+def apply_norm(p, x, eps=1e-5):
+    """Instance norm, or frozen (eval-mode) batch norm when running
+    stats are present in the params."""
+    if "mean" in p:
+        mean = p["mean"][None, :, None, None]
+        var = p["var"][None, :, None, None]
+    else:
+        mean = jnp.mean(x, axis=(2, 3), keepdims=True)
+        var = jnp.var(x, axis=(2, 3), keepdims=True)
     xn = (x - mean) * lax.rsqrt(var + eps)
     return xn * p["weight"][None, :, None, None] + p["bias"][None, :, None, None]
 
@@ -147,20 +171,20 @@ def _apply_res(p, x):
     # RAFT's BasicEncoder config (static structure, not a traced value)
     stride = 2 if "downsample" in p else 1
     y = conv2d(p["conv1"], x, stride=stride)
-    y = jax.nn.relu(instance_norm(p["norm1"], y) if p["norm1"] is not None else y)
+    y = jax.nn.relu(apply_norm(p["norm1"], y) if p["norm1"] is not None else y)
     y = conv2d(p["conv2"], y)
-    y = jax.nn.relu(instance_norm(p["norm2"], y) if p["norm2"] is not None else y)
+    y = jax.nn.relu(apply_norm(p["norm2"], y) if p["norm2"] is not None else y)
     if "downsample" in p:
         x = conv2d(p["downsample"], x, stride=stride)
         if p.get("norm3") is not None:
-            x = instance_norm(p["norm3"], x)
+            x = apply_norm(p["norm3"], x)
     return jax.nn.relu(x + y)
 
 
 def encoder_forward(p, x):
     x = conv2d(p["conv1"], x, stride=2)
     if p["norm1"] is not None:
-        x = instance_norm(p["norm1"], x)
+        x = apply_norm(p["norm1"], x)
     x = jax.nn.relu(x)
     for blk in p["layer1"]:
         x = _apply_res(blk, x)
@@ -225,14 +249,12 @@ def corr_lookup(pyramid, coords):
     _, _, h, w = coords.shape
     cgrid = coords.transpose(0, 2, 3, 1).reshape(h * w, 1, 2)  # (HW, 1, 2)
     r = CORR_RADIUS
-    d = jnp.stack(
-        jnp.meshgrid(
-            jnp.arange(-r, r + 1, dtype=jnp.float32),
-            jnp.arange(-r, r + 1, dtype=jnp.float32),
-            indexing="xy",
-        ),
-        axis=-1,
-    ).reshape(-1, 2)  # (81, 2)
+    # RAFT's delta grid (corr.py:37-39) is meshgrid(dy, dx) stacked last,
+    # i.e. flat channel c = i*(2r+1)+j samples (x + (i - r), y + (j - r))
+    # — the x offset rides the SLOW index. Converted update-block weights
+    # expect exactly this channel order.
+    ar = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    d = jnp.stack(jnp.meshgrid(ar, ar, indexing="ij"), axis=-1).reshape(-1, 2)
     outs = []
     for lvl, corr in enumerate(pyramid):
         centroid = cgrid / (2.0**lvl)
@@ -339,58 +361,78 @@ RAFT_WEIGHTS_PATHS = [
 ]
 
 
-def load_torch_weights(path: str) -> dict:
-    """Convert a torch RAFT checkpoint (DataParallel 'module.' keys) into
-    this module's parameter pytree."""
-    import torch
+def _strip_module(sd) -> dict:
+    return {k.replace("module.", ""): np.asarray(v) for k, v in sd.items()}
 
-    sd = torch.load(path, map_location="cpu")
-    sd = {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
-    params = make_params()
 
-    def put_conv(dst, prefix):
-        dst["weight"] = jnp.asarray(sd[prefix + ".weight"])
+def put_conv(sd, dst, prefix):
+    dst["weight"] = jnp.asarray(sd[prefix + ".weight"])
+    if prefix + ".bias" in sd:
         dst["bias"] = jnp.asarray(sd[prefix + ".bias"])
 
-    def put_norm(dst, prefix):
-        if prefix + ".weight" in sd and dst is not None:
-            dst["weight"] = jnp.asarray(sd[prefix + ".weight"])
-            dst["bias"] = jnp.asarray(sd[prefix + ".bias"])
 
-    for enc_name in ["fnet", "cnet"]:
-        e = params[enc_name]
-        put_conv(e["conv1"], f"{enc_name}.conv1")
-        put_norm(e["norm1"], f"{enc_name}.norm1")
-        for li, lname in enumerate(["layer1", "layer2", "layer3"], start=1):
-            for bi in range(2):
-                blk = e[lname][bi]
-                pre = f"{enc_name}.layer{li}.{bi}"
-                put_conv(blk["conv1"], pre + ".conv1")
-                put_conv(blk["conv2"], pre + ".conv2")
-                put_norm(blk["norm1"], pre + ".norm1")
-                put_norm(blk["norm2"], pre + ".norm2")
-                if "downsample" in blk:
-                    put_conv(blk["downsample"], pre + ".downsample.0")
-                    put_norm(blk.get("norm3"), pre + ".downsample.1")
-        put_conv(e["conv2"], f"{enc_name}.conv2")
+def put_norm(sd, dst, prefix):
+    if prefix + ".weight" in sd and dst is not None:
+        dst["weight"] = jnp.asarray(sd[prefix + ".weight"])
+        dst["bias"] = jnp.asarray(sd[prefix + ".bias"])
+        # batch norms carry running stats (cnet is norm_fn='batch',
+        # RAFT/raft.py:55); frozen at inference like freeze_bn()
+        if prefix + ".running_mean" in sd:
+            dst["mean"] = jnp.asarray(sd[prefix + ".running_mean"])
+            dst["var"] = jnp.asarray(sd[prefix + ".running_var"])
 
-    u = params["update"]
-    put_conv(u["enc_convc1"], "update_block.encoder.convc1")
-    put_conv(u["enc_convc2"], "update_block.encoder.convc2")
-    put_conv(u["enc_convf1"], "update_block.encoder.convf1")
-    put_conv(u["enc_convf2"], "update_block.encoder.convf2")
-    put_conv(u["enc_conv"], "update_block.encoder.conv")
-    put_conv(u["gru_convz1"], "update_block.gru.convz1")
-    put_conv(u["gru_convr1"], "update_block.gru.convr1")
-    put_conv(u["gru_convq1"], "update_block.gru.convq1")
-    put_conv(u["gru_convz2"], "update_block.gru.convz2")
-    put_conv(u["gru_convr2"], "update_block.gru.convr2")
-    put_conv(u["gru_convq2"], "update_block.gru.convq2")
-    put_conv(u["flow_conv1"], "update_block.flow_head.conv1")
-    put_conv(u["flow_conv2"], "update_block.flow_head.conv2")
-    put_conv(u["mask_conv1"], "update_block.mask.0")
-    put_conv(u["mask_conv2"], "update_block.mask.2")
+
+def convert_encoder(sd, e, enc_name: str) -> None:
+    """Fill one BasicEncoder pytree from a torch state_dict (shared by
+    RAFT and GMA — GMA/extractor.py is the same architecture)."""
+    put_conv(sd, e["conv1"], f"{enc_name}.conv1")
+    put_norm(sd, e["norm1"], f"{enc_name}.norm1")
+    for li, lname in enumerate(["layer1", "layer2", "layer3"], start=1):
+        for bi in range(2):
+            blk = e[lname][bi]
+            pre = f"{enc_name}.layer{li}.{bi}"
+            put_conv(sd, blk["conv1"], pre + ".conv1")
+            put_conv(sd, blk["conv2"], pre + ".conv2")
+            put_norm(sd, blk["norm1"], pre + ".norm1")
+            put_norm(sd, blk["norm2"], pre + ".norm2")
+            if "downsample" in blk:
+                put_conv(sd, blk["downsample"], pre + ".downsample.0")
+                put_norm(sd, blk.get("norm3"), pre + ".downsample.1")
+    put_conv(sd, e["conv2"], f"{enc_name}.conv2")
+
+
+def convert_update_block(sd, u, prefix: str = "update_block") -> None:
+    """Fill the update-block pytree (BasicMotionEncoder + SepConvGRU +
+    FlowHead + mask head — RAFT/update.py, GMA/update.py share names)."""
+    put_conv(sd, u["enc_convc1"], f"{prefix}.encoder.convc1")
+    put_conv(sd, u["enc_convc2"], f"{prefix}.encoder.convc2")
+    put_conv(sd, u["enc_convf1"], f"{prefix}.encoder.convf1")
+    put_conv(sd, u["enc_convf2"], f"{prefix}.encoder.convf2")
+    put_conv(sd, u["enc_conv"], f"{prefix}.encoder.conv")
+    for g in ["convz1", "convr1", "convq1", "convz2", "convr2", "convq2"]:
+        put_conv(sd, u[f"gru_{g}"], f"{prefix}.gru.{g}")
+    put_conv(sd, u["flow_conv1"], f"{prefix}.flow_head.conv1")
+    put_conv(sd, u["flow_conv2"], f"{prefix}.flow_head.conv2")
+    put_conv(sd, u["mask_conv1"], f"{prefix}.mask.0")
+    put_conv(sd, u["mask_conv2"], f"{prefix}.mask.2")
+
+
+def convert_state_dict(sd) -> dict:
+    """Convert a torch RAFT state_dict (DataParallel 'module.' keys
+    already stripped or not) into this module's parameter pytree."""
+    sd = _strip_module(sd)
+    params = make_params()
+    convert_encoder(sd, params["fnet"], "fnet")
+    convert_encoder(sd, params["cnet"], "cnet")
+    convert_update_block(sd, params["update"])
     return params
+
+
+def load_torch_weights(path: str) -> dict:
+    """Convert a torch RAFT checkpoint file into the parameter pytree."""
+    import torch
+
+    return convert_state_dict(torch.load(path, map_location="cpu"))
 
 
 def pad_to_multiple(img: np.ndarray, mult: int = 8):

@@ -76,11 +76,16 @@ class MotionSegmenter:
     with just an image reuses the most recent geometry."""
 
     def __init__(self, intrinsics, residual_threshold: float = 0.12,
-                 min_region: int = 200):
+                 min_region: int = 200, pose_provider=None):
         self.intr = intrinsics
         self.th = residual_threshold
         self.min_region = min_region
         self._prev = None  # (gray, depth, T_cw)
+        # pose_provider: () -> (4,4) w2c estimate for the INCOMING frame.
+        # On a real run this is the runner's constant-velocity prediction
+        # from TRACKED poses — never the dataset's GT pose (which would
+        # quietly GT-assist the segmentation).
+        self.pose_provider = pose_provider
 
     @staticmethod
     def _gray(img_u8: np.ndarray) -> np.ndarray:
@@ -129,6 +134,16 @@ class MotionSegmenter:
         return self._filter_regions(raw)
 
     def _filter_regions(self, raw: np.ndarray) -> np.ndarray:
+        # native C++ union-find CC filter (fourdgs/native) — this runs
+        # per frame on the host prefetch thread, the one hot path that
+        # is NOT jitted; scipy fallback, then a crude global count
+        try:
+            from fourdgs.native import has_native, region_filter
+
+            if has_native():
+                return region_filter(raw, self.min_region)
+        except Exception:
+            pass
         try:
             from scipy.ndimage import label
 
@@ -141,11 +156,10 @@ class MotionSegmenter:
         except Exception:
             return raw if raw.sum() >= self.min_region else np.zeros_like(raw)
 
-    def __call__(self, img_u8: np.ndarray, depth: np.ndarray | None = None,
-                 pose: np.ndarray | None = None) -> np.ndarray:
-        if depth is not None and pose is not None:
-            return self.update(img_u8, depth, np.asarray(pose))
-        # image-only API: no geometry to compensate with
+    def __call__(self, img_u8: np.ndarray, depth: np.ndarray | None = None) -> np.ndarray:
+        if depth is not None and self.pose_provider is not None:
+            return self.update(img_u8, depth, np.asarray(self.pose_provider()))
+        # no pose source: no geometry to compensate with
         return np.zeros(img_u8.shape[:2], bool)
 
 

@@ -189,3 +189,75 @@ def keyframe_selection_overlap(
         ranked.append((uid, float(np.mean(ok))))
     ranked = [u for u, p in sorted(ranked, key=lambda t: -t[1]) if p > 0.0]
     return list(rng.permutation(np.array(ranked, dtype=np.int64)))[:max_selected] if ranked else []
+
+
+# ---------------------------------------------------------------------------
+# Depth-reprojection consistency mask
+# ---------------------------------------------------------------------------
+
+
+def _dilate3x3(mask: jax.Array, iters: int = 3) -> jax.Array:
+    """Binary dilation by a 3x3 structuring element, `iters` times
+    (reference: three F.conv2d passes with a ones(3,3) kernel,
+    utils/camera_utils.py:300-306)."""
+    m = mask
+    for _ in range(iters):
+        m = jax.lax.reduce_window(
+            m, False, jax.lax.bitwise_or,
+            window_dimensions=(3, 3), window_strides=(1, 1), padding="SAME",
+        )
+    return m
+
+
+def reproject_mask(
+    anchor_depth: jax.Array,   # (H, W) f32 — anchor keyframe GT depth
+    anchor_static: jax.Array,  # (H, W) bool — anchor motion mask (True = static)
+    T_anchor_cw: jax.Array,    # (4, 4) anchor world->camera
+    T_curr_cw: jax.Array,      # (4, 4) current-view world->camera
+    fx: float, fy: float, cx: float, cy: float,
+) -> jax.Array:
+    """Depth-reprojection consistency mask (reference
+    utils/camera_utils.py:267-317 `Camera.reproject_mask`): back-project
+    the anchor keyframe's valid static depth, reproject into the current
+    view, mark hit pixels, dilate 3x with a 3x3 kernel, and return the
+    complement — True on pixels the anchor's static geometry does NOT
+    cover. The reference computes it under no_grad when `rm_initdy` in
+    map/map_static (slam_backend.py:465-469,586-590,1063-1067) and ANDs
+    it into the rgb/depth loss masks (slam_utils.py:292-294).
+
+    Degenerate anchor (no valid static depth) returns all-True, like the
+    reference's early exit (camera_utils.py:275-276).
+    """
+    H, W = anchor_depth.shape
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    valid = (anchor_depth > 0) & anchor_static
+    d = anchor_depth
+    # back-project to anchor camera space, then world
+    x_c = (xs - cx) / fx * d
+    y_c = (ys - cy) / fy * d
+    pts_c = jnp.stack([x_c, y_c, d, jnp.ones_like(d)], axis=-1).reshape(-1, 4)
+    T_wc = jnp.linalg.inv(T_anchor_cw)
+    pts_curr = (pts_c @ T_wc.T) @ T_curr_cw.T      # (H*W, 4) current cam
+    z = pts_curr[:, 2] + 1e-5
+    u = pts_curr[:, 0] / z * fx + cx
+    v = pts_curr[:, 1] / z * fy + cy
+    # torch .long() truncates toward zero; inputs here are >= -eps before
+    # the bounds check so int32 cast matches
+    iu = u.astype(jnp.int32)
+    iv = v.astype(jnp.int32)
+    ok = (
+        valid.reshape(-1)
+        & (z > 1e-5)
+        & (iu >= 0) & (iu < W) & (iv >= 0) & (iv < H)
+        & (u >= 0) & (v >= 0)
+    )
+    # route rejected points out of bounds; scatter-drop ignores them
+    iu = jnp.where(ok, iu, W)
+    iv = jnp.where(ok, iv, H)
+    hit = jnp.zeros((H, W), bool).at[iv, iu].set(True, mode="drop")
+    hit = _dilate3x3(hit, 3)
+    # all-invalid anchor -> keep everything (reference early exit)
+    return jnp.where(jnp.any(valid), ~hit, True)
+
+
+reproject_mask = jax.jit(reproject_mask, static_argnames=("fx", "fy", "cx", "cy"))

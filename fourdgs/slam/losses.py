@@ -68,6 +68,7 @@ def mapping_loss_rgbd(
     gt_depth: jax.Array,
     motion_mask: jax.Array | None = None,
     flow_consistency_mask: jax.Array | None = None,
+    extra_mask: jax.Array | None = None,
     alpha: float = 0.95,
     rgb_boundary_threshold: float = 0.01,
     rm_dynamic: bool = False,
@@ -76,7 +77,10 @@ def mapping_loss_rgbd(
     """L1 RGB + L1 depth mapping loss (reference get_loss_mapping_rgbd,
     utils/slam_utils.py:274-364). With `dynamic=True` the per-pixel L1 is
     upweighted x2 on dynamic regions (~motion_mask, and optionally the
-    flow-consistency mask) instead of the reference's in-place writes."""
+    flow-consistency mask) instead of the reference's in-place writes.
+    `extra_mask` is the reproject_mask path (reference `mask=` kwarg,
+    slam_utils.py:292-294): ANDed into both pixel masks when
+    rm_dynamic."""
     rgb_mask = jnp.sum(gt_image, axis=0) > rgb_boundary_threshold
     depth_mask = (gt_depth > 0.01) & (gt_depth < 10000.0)
     if motion_mask is not None and rm_dynamic:
@@ -85,6 +89,9 @@ def mapping_loss_rgbd(
     if flow_consistency_mask is not None and rm_dynamic:
         rgb_mask = rgb_mask & flow_consistency_mask
         depth_mask = depth_mask & flow_consistency_mask
+    if extra_mask is not None and rm_dynamic:
+        rgb_mask = rgb_mask & extra_mask
+        depth_mask = depth_mask & extra_mask
 
     l1_rgb = jnp.abs((image - gt_image) * rgb_mask.astype(image.dtype)[None])
     l1_depth = jnp.abs((depth - gt_depth) * depth_mask.astype(depth.dtype))

@@ -62,6 +62,12 @@ class MappingConfig(NamedTuple):
     rm_dynamic: bool = True       # mask dynamic pixels out of the loss
     raster: RasterConfig = RasterConfig(with_n_touched=False)
     lrs: MapLRs = MapLRs()
+    # xyz exponential LR schedule (reference update_learning_rate,
+    # gaussian_model.py:511-525, called per mapping iteration at
+    # slam_backend.py:771,854,1211): multiplier decays 1 -> xyz_lr_ratio
+    # over xyz_lr_max_steps global iterations.
+    xyz_lr_ratio: float = 0.01    # position_lr_final / position_lr_init
+    xyz_lr_max_steps: int = 30000
 
     @property
     def num_views(self) -> int:
@@ -123,9 +129,10 @@ def map_chunk(
     key: jax.Array,
     num_iters: jax.Array,      # () int32 — dynamic trip count
     step_after: jax.Array,     # () int32 — map params step when i > step_after
-    xyz_lr_mult: jax.Array,    # () f32 — position LR schedule multiplier
+    iter_base: jax.Array,      # () int32 — global iteration_count at chunk start
     intr: Intrinsics,
     cfg: MappingConfig = MappingConfig(),
+    extra_masks: jax.Array | None = None,  # (Vw, H, W) bool reproject masks
 ) -> MapChunkResult:
     proj = intr.proj()
     vw = cfg.num_window_views
@@ -191,9 +198,17 @@ def map_chunk(
                     ).astype(jnp.float32)[None]
                     l = jnp.mean(jnp.abs((image_ab - image_gt) * rgb_mask))
                 else:
+                    # reproject_mask for window views when provided
+                    # (reference rm_initdy path, slam_backend.py:586-590 +
+                    # slam_utils.py:292-294); random replay views carry no
+                    # mask, like the reference's window-indexed viewpoints
+                    em = None
+                    if extra_masks is not None:
+                        em = jnp.where(v < vw, extra_masks[jnp.minimum(v, vw - 1)], True)
                     l = mapping_loss_rgbd(
                         image_ab, out.depth, image_gt, depth_gt,
                         motion_mask=motion,
+                        extra_mask=em,
                         alpha=cfg.alpha,
                         rgb_boundary_threshold=cfg.rgb_boundary_threshold,
                         rm_dynamic=cfg.rm_dynamic,
@@ -227,6 +242,18 @@ def map_chunk(
         )
 
         # --- map parameter step, gated by the i>step_after rule ---
+        # xyz LR schedule at the global iteration count (reference
+        # update_learning_rate(self.iteration_count) after every step,
+        # slam_backend.py:771): only iterations past step_after advance
+        # the count (matching the runner's host arithmetic).
+        from fourdgs.models.gaussian_map import expon_lr
+
+        adv = jnp.maximum(0, i - jnp.maximum(step_after + 1, 0))
+        xyz_lr_mult = expon_lr(
+            (iter_base + adv).astype(jnp.float32), 1.0, cfg.xyz_lr_ratio,
+            max_steps=cfg.xyz_lr_max_steps,
+        )
+
         def do_step(operand):
             gmap, adam = operand
             p2, a2 = adam_step(

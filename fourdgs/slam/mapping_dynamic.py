@@ -138,6 +138,7 @@ def map_chunk_dynamic(
     key: jax.Array,
     num_iters: jax.Array,
     step_after: jax.Array,
+    iter_base: jax.Array,   # () int32 — global iteration_count at chunk start
     intr: Intrinsics,
     cfg: MappingConfig = MappingConfig(),
     flow_weight: float = 3.0,
@@ -276,9 +277,20 @@ def map_chunk_dynamic(
             denom=gmap.denom + jnp.sum(upd, axis=0),
         )
 
+        # xyz LR schedule at the global iteration count (reference
+        # update_learning_rate, slam_backend.py:771)
+        from fourdgs.models.gaussian_map import expon_lr
+
+        adv = jnp.maximum(0, i - jnp.maximum(step_after + 1, 0))
+        xyz_lr_mult = expon_lr(
+            (iter_base + adv).astype(jnp.float32), 1.0, cfg.xyz_lr_ratio,
+            max_steps=cfg.xyz_lr_max_steps,
+        )
+
         def do_step(operand):
             gmap, adam = operand
-            p2, a2 = adam_step(gmap.params, g_params, adam, cfg.lrs, gmap.alive)
+            p2, a2 = adam_step(gmap.params, g_params, adam, cfg.lrs, gmap.alive,
+                               xyz_lr_mult=xyz_lr_mult)
             return gmap._replace(params=p2), a2
 
         gmap, adam = jax.lax.cond(i > step_after, do_step, lambda o: o, (gmap, adam))

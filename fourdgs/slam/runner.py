@@ -88,6 +88,10 @@ class SLAM:
         self.tracking_itr_num = int(tr.get("tracking_itr_num", 100))
         self.kf_iters = int(tr.get("keyframe_mapping_iters", 200))
         self.dystart = int(tr.get("dystart", 0))
+        # rm_initdy: depth-reprojection consistency masking vs frame 0
+        # (reference map(..., rm_initdy), slam_backend.py:306,465-469;
+        # never enabled at the shipped call sites :887-999, so default off)
+        self.rm_initdy = bool(tr.get("rm_initdy", False))
         op = config.get("opt_params", {})
         self.densify_grad_threshold = float(op.get("densify_grad_threshold", 2e-4))
         ds = config["Dataset"]
@@ -117,6 +121,8 @@ class SLAM:
             alpha=self.alpha,
             raster=self.raster._replace(with_n_touched=False),
         )
+        pl_init = float(op.get("position_lr_init", 0.00016))
+        pl_final = float(op.get("position_lr_final", 1.6e-6))
         self.map_cfg = MappingConfig(
             num_window_views=self.window_size,
             pose_window=self.pose_window,
@@ -126,6 +132,8 @@ class SLAM:
             lr_trans=float(tr["lr"]["cam_trans_delta"]) * 0.5,
             rm_dynamic=True,
             raster=self.raster._replace(with_n_touched=False),
+            xyz_lr_ratio=pl_final / max(pl_init, 1e-30),
+            xyz_lr_max_steps=int(op.get("position_lr_max_steps", 30000)),
         )
 
         self.gmap = gm.empty_map(capacity)
@@ -149,12 +157,21 @@ class SLAM:
             if ds.get("type") == "synthetic":
                 self.flow_cache = FlowCache(SyntheticFlowProvider(self.dataset))
             else:
+                # flow network selection (the reference's generate_flow
+                # swap point, utils/camera_utils.py:368-407: RAFT default,
+                # GMA as the commented alternative — here a config knob)
+                flow_model = str(tr.get("flow_model", "raft")).lower()
                 try:
-                    from fourdgs.perception.raft import RaftFlowProvider
+                    if flow_model == "gma":
+                        from fourdgs.perception.gma import GmaFlowProvider
 
-                    self.flow_cache = FlowCache(RaftFlowProvider())
+                        self.flow_cache = FlowCache(GmaFlowProvider())
+                    else:
+                        from fourdgs.perception.raft import RaftFlowProvider
+
+                        self.flow_cache = FlowCache(RaftFlowProvider())
                 except Exception as e:
-                    Log(f"RAFT unavailable ({e}); flow loss disabled")
+                    Log(f"{flow_model.upper()} unavailable ({e}); flow loss disabled")
                     self.flow_weight = 0.0
 
         # host bookkeeping
@@ -336,6 +353,7 @@ class SLAM:
             slots, valid, opt_pose, pair_slots, fwd, bwd,
             pool, pool_size, pose_adam, self._next_key(),
             jnp.int32(total_iters), jnp.int32(step_after),
+            jnp.int32(self.iteration_count),
             self.intr, self.map_cfg,
             flow_weight=self.flow_weight,
             time_interval=self.time_interval,
@@ -407,6 +425,31 @@ class SLAM:
             jnp.asarray(pool_full), jnp.int32(len(pool)), key_opt,
         )
 
+    def _reproject_masks(self, key_opt: list[int]):
+        """Per-window-view depth-reprojection masks vs frame 0 (reference
+        viewpoint.reproject_mask(dataset, self.viewpoints[0]),
+        slam_backend.py:465-469). Computed once per chunk (the reference
+        recomputes per iteration under no_grad; window poses move <1e-3
+        within a chunk so this is equivalent)."""
+        if not self.kf_indices:
+            return None
+        anchor = self.kf_slot[self.kf_indices[0]]
+        vw = self.map_cfg.num_window_views
+        h, w = self.intr.height, self.intr.width
+        masks = np.ones((vw, h, w), bool)
+        a_depth = self.store.depths[anchor]
+        a_static = self.store.motion[anchor]
+        T_a = self.store.T_cw[anchor]
+        for i, kf in enumerate(key_opt[:vw]):
+            masks[i] = np.asarray(
+                kfs.reproject_mask(
+                    a_depth, a_static, T_a, self.store.T_cw[self.kf_slot[kf]],
+                    fx=self.intr.fx, fy=self.intr.fy,
+                    cx=self.intr.cx, cy=self.intr.cy,
+                )
+            )
+        return jnp.asarray(masks)
+
     def _run_mapping(self, total_iters: int, step_after: int, prune: bool,
                      densify: bool = True, min_opacity: float | None = None,
                      extent: float | None = None, size_th: float | None = None,
@@ -415,6 +458,7 @@ class SLAM:
         densify/reset cadence boundaries the reference hits inside its
         loop (slam_backend.py:723-745)."""
         slots, valid, opt_pose, pool, pool_size, key_opt = self._window_arrays()
+        extra_masks = self._reproject_masks(key_opt) if self.rm_initdy else None
         pose_adam = init_pose_adam(self.map_cfg.num_window_views)
         min_op = self.gaussian_th if min_opacity is None else min_opacity
         ext = self.gaussian_extent if extent is None else extent
@@ -443,8 +487,9 @@ class SLAM:
                 slots, valid, opt_pose, pool, pool_size, pose_adam,
                 self._next_key(),
                 jnp.int32(chunk), jnp.int32(step_after - done),
-                jnp.float32(1.0),
+                jnp.int32(self.iteration_count),
                 self.intr, self.map_cfg,
+                extra_masks=extra_masks,
             )
             self.gmap, self.adam, self.store, pose_adam = (
                 res.gmap, res.adam, res.store, res.pose_adam
@@ -558,7 +603,8 @@ class SLAM:
             res = map_chunk(
                 self.gmap, self.adam, self.store, slots, valid, opt_pose,
                 pool, jnp.int32(0), pose_adam, self._next_key(),
-                jnp.int32(chunk), jnp.int32(-1), jnp.float32(1.0),
+                jnp.int32(chunk), jnp.int32(-1),
+                jnp.int32(self.iteration_count),
                 self.intr, self.map_cfg,
             )
             self.gmap, self.adam, self.store, pose_adam = (
@@ -752,7 +798,10 @@ class SLAM:
             jnp.asarray(slots), jnp.asarray(valid), jnp.zeros(vw, bool),
             jnp.asarray(pool_full), jnp.int32(len(pool)),
             init_pose_adam(vw), self._next_key(),
-            jnp.int32(iterations), jnp.int32(-1), jnp.float32(1.0),
+            # reference color_refinement schedules from the LOCAL
+            # iteration (update_learning_rate(iteration),
+            # slam_backend.py:854), not the global count
+            jnp.int32(iterations), jnp.int32(-1), jnp.int32(0),
             self.intr, refine_cfg,
         )
         self.gmap, self.adam, self.store = res.gmap, res.adam, res.store
@@ -834,8 +883,13 @@ class SLAM:
             "exposures": {str(k): v.tolist() for k, v in self.exposures.items()},
             "initialized": self.initialized,
             "median_depth": self.median_depth,
+            "deform_init": self.deform_init,
         }
         save_state(path, self.gmap, self.adam, self.store, host)
+        if self.deform is not None:
+            from fourdgs.io.checkpoint import save_deform
+
+            save_deform(path + ".deform.npz", self.deform, self.deform_adam)
 
     def load_checkpoint(self, path: str):
         from fourdgs.io.checkpoint import load_state
@@ -855,6 +909,26 @@ class SLAM:
         }
         self.initialized = host["initialized"]
         self.median_depth = host["median_depth"]
+        # 4D deformation state (named + shape-adaptive; a dynamic run can
+        # now resume — reference deform.pth is save-only)
+        if host.get("deform_init", False) and os.path.exists(path + ".deform.npz"):
+            from fourdgs.io.checkpoint import load_deform
+            from fourdgs.models.deform import init_nodes
+            from fourdgs.slam.mapping_dynamic import init_deform_adam
+
+            if self.deform is None:
+                node_cap = int(self.hp.node_num)
+                self.deform = init_nodes(
+                    self._next_key(), node_cap, jnp.zeros((8, 3)),
+                    jnp.zeros(8, bool), node_num=8,
+                )
+                self.deform_adam = init_deform_adam(self.deform)
+            self.deform, adam = load_deform(
+                path + ".deform.npz", self.deform, self.deform_adam
+            )
+            if adam is not None:
+                self.deform_adam = adam
+            self.deform_init = True
         # occ visibility is recomputable; refresh for the current window
         for kf in self.window:
             out = render_keyframe(
@@ -874,11 +948,14 @@ class SLAM:
             os.path.join(self.save_dir, "point_cloud", label, "point_cloud.ply"),
         )
         if self.deform is not None:
-            # deform weights artifact (reference deform/iteration_*/deform.pth)
+            # named deform weights artifact (reference
+            # deform/iteration_*/deform.pth, deform_model.py:54-57) —
+            # loadable via fourdgs.io.checkpoint.load_deform with
+            # shape-adaptive node counts (time_utils.py:863-883)
+            from fourdgs.io.checkpoint import save_deform
+
             ddir = os.path.join(self.save_dir, "deform", label)
             os.makedirs(ddir, exist_ok=True)
-            leaves = {f"leaf.{i}": np.asarray(x)
-                      for i, x in enumerate(jax.tree.leaves(self.deform))}
-            np.savez(os.path.join(ddir, "deform.npz"), **leaves)
+            save_deform(os.path.join(ddir, "deform.npz"), self.deform)
         with open(os.path.join(self.save_dir, "final_result.json"), "w") as f:
             json.dump(self.metrics, f, indent=2)

@@ -83,3 +83,62 @@ def test_keyframe_selection_overlap_ranks_nearby():
     )
     assert 1 in picks
     assert 2 not in picks
+
+
+def test_reproject_mask_identity_covers_valid_depth():
+    """Same pose: every valid static pixel reprojects onto itself, so the
+    returned keep-mask is False there (covered) and True on the
+    invalid-depth region beyond the 7x7 dilation halo."""
+    import jax.numpy as jnp
+    from fourdgs.slam.keyframes import reproject_mask
+
+    H, W = 48, 64
+    depth = np.zeros((H, W), np.float32)
+    depth[8:32, 8:40] = 2.0
+    static = np.ones((H, W), bool)
+    m = np.asarray(reproject_mask(
+        jnp.asarray(depth), jnp.asarray(static),
+        jnp.eye(4), jnp.eye(4), fx=50.0, fy=50.0, cx=31.5, cy=23.5,
+    ))
+    assert not m[8:32, 8:40].any()          # covered pixels removed
+    assert m[0:4, :].all() and m[44:, :].all()  # far region kept
+    # dilation halo: 3 passes of 3x3 -> 3 px beyond the block is covered
+    assert not m[7, 20] and not m[5, 20]
+    assert m[4, 20]
+
+
+def test_reproject_mask_dynamic_pixels_not_projected():
+    """Anchor pixels marked dynamic (static=False) must not mark
+    coverage: with an all-dynamic anchor the mask is all-True (reference
+    early exit, camera_utils.py:275-276)."""
+    import jax.numpy as jnp
+    from fourdgs.slam.keyframes import reproject_mask
+
+    H, W = 32, 32
+    depth = np.full((H, W), 2.0, np.float32)
+    m = np.asarray(reproject_mask(
+        jnp.asarray(depth), jnp.zeros((H, W), bool),
+        jnp.eye(4), jnp.eye(4), fx=40.0, fy=40.0, cx=15.5, cy=15.5,
+    ))
+    assert m.all()
+
+
+def test_reproject_mask_translation_shifts_coverage():
+    """Translating the current camera along +x shifts the reprojection
+    footprint left in the image; pixels that fell out of the footprint
+    become True (uncovered)."""
+    import jax.numpy as jnp
+    from fourdgs.slam.keyframes import reproject_mask
+
+    H, W = 48, 64
+    fx = fy = 50.0
+    depth = np.full((H, W), 2.0, np.float32)
+    T_curr = np.eye(4, dtype=np.float32)
+    T_curr[0, 3] = 0.4  # camera frame shifts points +x -> pixels shift right
+    m = np.asarray(reproject_mask(
+        jnp.asarray(depth), jnp.ones((H, W), bool),
+        jnp.eye(4), jnp.asarray(T_curr), fx=fx, fy=fy, cx=31.5, cy=23.5,
+    ))
+    # points shift +x by 0.4*50/2 = 10 px: left columns uncovered
+    assert m[:, 0:6].all()
+    assert not m[20:30, 20:40].any()

@@ -87,7 +87,7 @@ def test_map_chunk_reduces_loss_and_improves_psnr():
     res = map_chunk(
         gmap, adam, store, window_slots, window_valid, opt_pose,
         rand_pool, jnp.int32(0), init_pose_adam(2), jax.random.key(1),
-        jnp.int32(40), jnp.int32(-1), jnp.float32(1.0), INTR, CFG,
+        jnp.int32(40), jnp.int32(-1), jnp.int32(0), INTR, CFG,
     )
     out1 = render_keyframe(res.gmap, res.store, jnp.int32(0), INTR, CFG)
     psnr1 = float(psnr(out1.color, img))
@@ -125,7 +125,7 @@ def test_map_chunk_pose_refinement():
     res = map_chunk(
         gmap, adam, store, window_slots, window_valid, opt_pose,
         jnp.zeros(8, jnp.int32), jnp.int32(0), init_pose_adam(2),
-        jax.random.key(2), jnp.int32(50), jnp.int32(-1), jnp.float32(1.0),
+        jax.random.key(2), jnp.int32(50), jnp.int32(-1), jnp.int32(0),
         INTR, CFG,
     )
     err1 = float(jnp.linalg.norm(res.store.T_cw[1][:3, 3]))
@@ -143,3 +143,52 @@ def test_window_visibility():
     assert vis.shape == (2, gmap.capacity)
     assert int(jnp.sum(vis[0])) > 100
     assert int(jnp.sum(vis[1])) == 0
+
+
+def test_expon_lr_matches_reference_helper():
+    """expon_lr must reproduce the reference `helper`
+    (gaussian_splatting/scene/gaussian_model.py:79-97) with
+    lr_delay_steps=0 (the update_learning_rate call path): pure
+    log-linear interpolation, no delay easing at step 0."""
+    from fourdgs.models.gaussian_map import expon_lr
+
+    lr_init, lr_final, max_steps = 0.00016 * 6, 1.6e-6 * 6, 30000
+    for step in [0, 1, 100, 5000, 15000, 30000, 50000]:
+        t = np.clip(step / max_steps, 0, 1)
+        expected = np.exp(np.log(lr_init) * (1 - t) + np.log(lr_final) * t)
+        got = float(expon_lr(jnp.float32(step), lr_init, lr_final,
+                             max_steps=max_steps))
+        np.testing.assert_allclose(got, expected, rtol=1e-5), step
+    # step 0 must give exactly lr_init (no 1% delay factor)
+    np.testing.assert_allclose(
+        float(expon_lr(jnp.float32(0), lr_init, lr_final, max_steps=max_steps)),
+        lr_init, rtol=1e-6,
+    )
+
+
+def test_map_chunk_xyz_lr_schedule():
+    """iter_base at the end of the schedule must shrink xyz movement by
+    ~the lr ratio (0.01) while leaving other fields' steps unchanged
+    (only the xyz param group is scheduled — reference
+    update_learning_rate loops param_groups and touches name=='xyz'
+    only)."""
+    gmap, adam, store, img, depth = _setup()
+    window_slots = jnp.array([0, 0], jnp.int32)
+    window_valid = jnp.array([True, False])
+    opt_pose = jnp.array([False, False])
+    args = (window_slots, window_valid, opt_pose, jnp.zeros(8, jnp.int32),
+            jnp.int32(0), init_pose_adam(2), jax.random.key(3),
+            jnp.int32(1), jnp.int32(-1))
+
+    res_hi = map_chunk(gmap, adam, store, *args, jnp.int32(0), INTR, CFG)
+    res_lo = map_chunk(gmap, adam, store, *args, jnp.int32(CFG.xyz_lr_max_steps), INTR, CFG)
+
+    d_hi = np.abs(np.asarray(res_hi.gmap.params.xyz - gmap.params.xyz)).max()
+    d_lo = np.abs(np.asarray(res_lo.gmap.params.xyz - gmap.params.xyz)).max()
+    assert d_hi > 0
+    np.testing.assert_allclose(d_lo / d_hi, CFG.xyz_lr_ratio, rtol=0.05)
+    # non-xyz fields identical between the two runs
+    np.testing.assert_allclose(
+        np.asarray(res_hi.gmap.params.opacity),
+        np.asarray(res_lo.gmap.params.opacity), atol=1e-7,
+    )

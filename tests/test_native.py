@@ -34,3 +34,23 @@ def test_voxel_downsample():
     # no two kept points share a voxel
     key = np.floor(kept / 0.2).astype(int)
     assert len(np.unique(key, axis=0)) == kept.shape[0]
+
+
+def test_region_filter_native_and_fallback():
+    import numpy as np
+    from fourdgs.native import region_filter
+
+    m = np.zeros((20, 30), bool)
+    m[2:4, 2:4] = True        # 4 px region — dropped at min_region=5
+    m[8:14, 10:20] = True     # 60 px region — kept
+    m[18, 0] = True           # isolated — dropped
+    out = region_filter(m, 5)
+    assert out[8:14, 10:20].all()
+    assert not out[2:4, 2:4].any()
+    assert not out[18, 0]
+    # diagonal-only touch is NOT 4-connected
+    m2 = np.zeros((6, 6), bool)
+    m2[0:2, 0:2] = True
+    m2[2:4, 2:4] = True
+    out2 = region_filter(m2, 5)
+    assert not out2.any()
