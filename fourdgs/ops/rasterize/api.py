@@ -21,6 +21,7 @@ from fourdgs.ops.rasterize.oracle import RenderOutputs, composite_oracle
 from fourdgs.ops.rasterize.preprocess import preprocess
 from fourdgs.ops.rasterize.tile_kernel import (
     composite_from_fields,
+    composite_from_fields_multi,
     reduce_pairs_by_gaussian,
 )
 
@@ -82,13 +83,17 @@ def rasterize(
     scale_mod: float = 1.0,
     mean2d_offset: jax.Array | None = None,
     config: RasterConfig = RasterConfig(),
+    bins=None,
 ) -> RenderOutputs:
     """Render activated Gaussians. `colors` are per-Gaussian RGB (SH deg 0
     already evaluated) or any 3-channel payload (e.g. flow). `alive`
     masks capacity slots / non-rendered subsets (the reference's boolean
     `mask` argument). `mean2d_offset` is a zeros tap: its gradient is the
     screen-space mean gradient used for densification statistics
-    (replaces reading .grad off viewspace_points)."""
+    (replaces reading .grad off viewspace_points). `bins` reuses a
+    previous `compute_bins` result (tracking re-bins every few
+    iterations — pose deltas of <1e-3 rarely change tile assignment;
+    the CUDA reference re-sorts every call)."""
     sg = preprocess(
         means3d, scales, quats, opacities, colors, alive,
         T_cw, proj,
@@ -103,18 +108,19 @@ def rasterize(
         return composite_oracle(sg, bg, width, height, tile=config.tile)
 
     tx_n, ty_n = tile_grid(width, height, config.tile)
-    bins = bin_gaussians(
-        jax.lax.stop_gradient(sg.mean2d),
-        jax.lax.stop_gradient(sg.depth),
-        sg.radius,
-        sg.visible,
-        width=width,
-        height=height,
-        tile=config.tile,
-        max_rect=config.max_rect,
-        max_pairs=config.max_pairs,
-        tile_cap=config.tile_cap,
-    )
+    if bins is None:
+        bins = bin_gaussians(
+            jax.lax.stop_gradient(sg.mean2d),
+            jax.lax.stop_gradient(sg.depth),
+            sg.radius,
+            sg.visible,
+            width=width,
+            height=height,
+            tile=config.tile,
+            max_rect=config.max_rect,
+            max_pairs=config.max_pairs,
+            tile_cap=config.tile_cap,
+        )
 
     n = means3d.shape[0]
     fields_geo = jnp.stack(
@@ -242,4 +248,163 @@ def render_flow(
         fx=fx, fy=fy, width=width, height=height,
         tan_fovx=tan_fovx, tan_fovy=tan_fovy,
         config=config,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "width", "height", "tan_fovx", "tan_fovy", "config"),
+)
+def compute_bins(
+    means3d: jax.Array,
+    scales: jax.Array,
+    quats: jax.Array,
+    alive: jax.Array,
+    T_cw: jax.Array,
+    proj: jax.Array,
+    *,
+    fx: float,
+    fy: float,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    scale_mod: float = 1.0,
+    config: RasterConfig = RasterConfig(),
+):
+    """Standalone tile binning at a given pose — for reuse across nearby
+    render calls (tracking iterations between re-bins). Forward-only:
+    everything is under stop_gradient."""
+    sg = preprocess(
+        jax.lax.stop_gradient(means3d), jax.lax.stop_gradient(scales),
+        jax.lax.stop_gradient(quats),
+        jnp.ones(means3d.shape[0]),   # opacity irrelevant for binning
+        jnp.zeros((means3d.shape[0], 3)),
+        alive, jax.lax.stop_gradient(T_cw), proj,
+        fx=fx, fy=fy, width=width, height=height,
+        tan_fovx=tan_fovx, tan_fovy=tan_fovy,
+        scale_mod=scale_mod, max_radius=config.max_radius,
+    )
+    return bin_gaussians(
+        sg.mean2d, sg.depth, sg.radius, sg.visible,
+        width=width, height=height, tile=config.tile,
+        max_rect=config.max_rect, max_pairs=config.max_pairs,
+        tile_cap=config.tile_cap,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "width", "height", "tan_fovx", "tan_fovy", "config"),
+)
+def rasterize_multi(
+    means3d: jax.Array,     # (N, 3) shared or (V, N, 3) per-view (deformed)
+    scales: jax.Array,      # (N, 3) or (V, N, 3)
+    quats: jax.Array,       # (N, 4) or (V, N, 4)
+    opacities: jax.Array,   # (N,) shared
+    colors: jax.Array,      # (N, 3) shared or (V, N, 3) per-view payloads
+    alive: jax.Array,       # (N,) shared
+    T_cws: jax.Array,       # (V, 4, 4)
+    proj: jax.Array,
+    bg: jax.Array,
+    *,
+    fx: float,
+    fy: float,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    scale_mod: float = 1.0,
+    mean2d_offsets: jax.Array | None = None,   # (V, N, 2) gradient taps
+    config: RasterConfig = RasterConfig(),
+) -> RenderOutputs:
+    """Batched multi-view render: V views in one preprocess/binning vmap
+    and ONE Pallas launch (grid = V x tiles). This is the mapping
+    backend's per-iteration workhorse — the reference renders its window
+    sequentially (slam_backend.py:306-774, per-viewpoint render calls);
+    batching the views keeps the TPU pipelines full and shares the
+    Gaussian activations. Outputs carry a leading V axis."""
+    v = T_cws.shape[0]
+    ax = lambda a, nd: 0 if a.ndim == nd else None
+    if config.use_oracle:
+        # pure-jnp compositor (tests / tiny scenes): vmap the whole render
+        return jax.vmap(
+            lambda m, s, q, c, T, off: rasterize(
+                m, s, q, opacities, c, alive, T, proj, bg,
+                fx=fx, fy=fy, width=width, height=height,
+                tan_fovx=tan_fovx, tan_fovy=tan_fovy,
+                scale_mod=scale_mod, mean2d_offset=off, config=config,
+            ),
+            in_axes=(ax(means3d, 3), ax(scales, 3), ax(quats, 3),
+                     ax(colors, 3), 0, None if mean2d_offsets is None else 0),
+        )(means3d, scales, quats, colors, T_cws, mean2d_offsets)
+    pp = jax.vmap(
+        lambda m, s, q, c, T: preprocess(
+            m, s, q, opacities, c, alive, T, proj,
+            fx=fx, fy=fy, width=width, height=height,
+            tan_fovx=tan_fovx, tan_fovy=tan_fovy,
+            scale_mod=scale_mod, max_radius=config.max_radius,
+        ),
+        in_axes=(ax(means3d, 3), ax(scales, 3), ax(quats, 3), ax(colors, 3), 0),
+    )
+    sg = pp(means3d, scales, quats, colors, T_cws)
+    if mean2d_offsets is not None:
+        sg = sg._replace(mean2d=sg.mean2d + mean2d_offsets)
+
+    tx_n, ty_n = tile_grid(width, height, config.tile)
+    bins = jax.vmap(
+        lambda m, d, r, vis: bin_gaussians(
+            m, d, r, vis,
+            width=width, height=height, tile=config.tile,
+            max_rect=config.max_rect, max_pairs=config.max_pairs,
+            tile_cap=config.tile_cap,
+        )
+    )(
+        jax.lax.stop_gradient(sg.mean2d),
+        jax.lax.stop_gradient(sg.depth),
+        sg.radius, sg.visible,
+    )
+
+    n = sg.mean2d.shape[1]
+    fields_geo = jnp.concatenate(
+        [sg.mean2d, sg.conic, sg.depth[..., None]], axis=-1
+    )  # (V, N, 6) [mx,my,ca,cb,cc,depth]
+    fields_app = jnp.concatenate(
+        [sg.opacity[..., None], sg.color], axis=-1
+    )  # (V, N, 4)
+    fields_geo = jnp.pad(fields_geo, ((0, 0), (0, 1), (0, 0)))
+    fields_app = jnp.pad(fields_app, ((0, 0), (0, 1), (0, 0)))
+    color_t, depth_t, tf_t, nt_t = composite_from_fields_multi(
+        fields_geo, fields_app,
+        bins.pair_gid, bins.tile_count, bins.pair_tile, bins.tile_start,
+        bins.bygid_perm, bins.gid_start, bins.gid_count,
+        tx_n, ty_n, config.tile, width, height, config.tile_cap,
+    )
+
+    asm = jax.vmap(
+        lambda t: _assemble_image(t, tx_n, ty_n, config.tile, width, height)
+    )
+    color = asm(color_t)
+    depth = asm(depth_t)
+    t_final = asm(tf_t)
+    color = color + t_final[:, None] * bg[None, :, None, None]
+
+    if config.with_n_touched:
+        nt = jax.vmap(
+            lambda ntv, pt, ts, perm, gs, gc: reduce_pairs_by_gaussian(
+                jax.lax.stop_gradient(ntv).reshape(-1, 1), pt, ts, perm, gs, gc,
+                tx_n * ty_n, config.tile_cap,
+            )[:n, 0].astype(jnp.int32)
+        )(nt_t, bins.pair_tile, bins.tile_start, bins.bygid_perm,
+          bins.gid_start, bins.gid_count)
+    else:
+        nt = jnp.zeros((v, n), jnp.int32)
+
+    return RenderOutputs(
+        color=color,
+        depth=depth,
+        alpha=1.0 - t_final,
+        n_touched=nt,
+        T_final=t_final,
+        radii=jax.lax.stop_gradient(sg.radius),
     )

@@ -104,22 +104,30 @@ def _chunk_quantities(pairs, c0, px, py):
 A_R, A_G, A_B, A_D, A_CUM, A_LA = 0, 1, 2, 3, 4, 5
 
 
-def _fwd_kernel(count_ref, pairs_ref, out_ref, nt_ref, acc_ref, done_ref,
-                *, k: int, tx_n: int, tile: int, img_w: int, img_h: int):
+def _fwd_kernel(count_ref, pairs_ref, out_ref, nt_ref, bounds_ref, acc_ref,
+                done_ref,
+                *, k: int, tx_n: int, tile: int, img_w: int, img_h: int,
+                tiles_per_view: int | None = None):
     t = pl.program_id(0)
+    if tiles_per_view is not None:
+        t = t % tiles_per_view  # multi-view: programs tile V stacked views
     npix = tile * tile
     px, py = _pixel_coords(t, tx_n, tile)
     inside = (px < img_w) & (py < img_h)
     tri = _tri_incl()
-    count = count_ref[t]
+    count = count_ref[pl.program_id(0)]
 
     acc_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)
     nt_ref[0, 0, :] = jnp.zeros((k,), jnp.float32)
+    # chunk-entry log-transmittance boundaries, saved for the single-pass
+    # backward; -1e30 marks never-executed chunks (exp -> 0 -> no grads)
+    bounds_ref[0, :, :] = jnp.full((k // CHUNK, npix), -1e30, jnp.float32)
     done_ref[0] = 0
 
     for c in range(k // CHUNK):
         @pl.when((c * CHUNK < count) & (done_ref[0] == 0))
         def _chunk():
+            bounds_ref[0, c, :] = acc_ref[:, A_CUM]
             q = _chunk_quantities(pairs_ref, c * CHUNK, px, py)
             cum = acc_ref[:, A_CUM:A_CUM + 1] + jnp.dot(
                 q["la"], tri, preferred_element_type=jnp.float32
@@ -158,20 +166,31 @@ def _fwd_kernel(count_ref, pairs_ref, out_ref, nt_ref, acc_ref, done_ref,
     out_ref[0, :, :] = out
 
 
-def _bwd_kernel(count_ref, pairs_ref, g_ref, dpairs_ref, acc_ref, pref_ref,
-                *, k: int, tx_n: int, tile: int, img_w: int, img_h: int):
+def _bwd_kernel(count_ref, pairs_ref, g_ref, bounds_ref, dpairs_ref, acc_ref,
+                *, k: int, tx_n: int, tile: int, img_w: int, img_h: int,
+                tiles_per_view: int | None = None):
+    """Single REVERSE pass over the chunks: the forward saved the
+    chunk-entry log-transmittance (bounds), so each chunk's in-chunk
+    prefix reconstructs locally and the cross-pair suffix term
+    sum_{j>i} w_j u_j accumulates back-to-front — no totals pre-pass
+    (the CUDA backward re-walks back-to-front the same way,
+    backward.cu:562-660, but needed atomics; here chunk suffixes are a
+    triangular matmul and the accumulator lives in VMEM)."""
     t = pl.program_id(0)
+    count = count_ref[pl.program_id(0)]
+    if tiles_per_view is not None:
+        t = t % tiles_per_view
     npix = tile * tile
     px, py = _pixel_coords(t, tx_n, tile)
     tri = _tri_incl()
-    count = count_ref[t]
 
     g_c = g_ref[0, :, 0:NCH]            # (npix, 3)
     g_d = g_ref[0, :, NCH:NCH + 1]      # (npix, 1)
     g_tf = g_ref[0, :, NCH + 1:NCH + 2]
+    t_final = g_ref[0, :, NCH + 2:NCH + 3]  # saved forward output
 
     dpairs_ref[0, :, :] = jnp.zeros((NUM_FIELDS, k), jnp.float32)
-    acc_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)
+    acc_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)  # col 0: suffix_acc
 
     def payload(q):
         """u_i = sum_ch g_ch * c_ch,i + g_d * depth_i. All four output
@@ -183,35 +202,12 @@ def _bwd_kernel(count_ref, pairs_ref, g_ref, dpairs_ref, acc_ref, pref_ref,
             u = u + g_c[:, ch:ch + 1] * pairs_ref[0, f, q["sl"]][None, :]
         return u
 
-    # ---- pass 1: totals (combined weighted payload sum and final T) ----
-    for c in range(k // CHUNK):
+    for c in reversed(range(k // CHUNK)):
         @pl.when(c * CHUNK < count)
-        def _p1():
-            q = _chunk_quantities(pairs_ref, c * CHUNK, px, py)
-            cum = acc_ref[:, A_CUM:A_CUM + 1] + jnp.dot(
-                q["la"], tri, preferred_element_type=jnp.float32
-            )
-            t_incl = jnp.exp(cum)
-            applied = q["valid"] & (t_incl >= T_EPS)
-            w = jnp.where(applied, q["alpha"] * jnp.exp(cum - q["la"]), 0.0)
-            acc_ref[:, 0:1] += jnp.sum(w * payload(q), axis=1, keepdims=True)
-            acc_ref[:, A_LA:A_LA + 1] += jnp.sum(
-                jnp.where(applied, q["la"], 0.0), axis=1, keepdims=True
-            )
-            acc_ref[:, A_CUM:A_CUM + 1] = cum[:, CHUNK - 1:CHUNK]
-
-    u_tot = acc_ref[:, 0:1]
-    t_final = jnp.exp(acc_ref[:, A_LA:A_LA + 1])
-
-    # ---- pass 2: per-pair gradients ----
-    # pref_ref columns: [pref_wu, cum, _, ...]
-    pref_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)
-    for c in range(k // CHUNK):
-        @pl.when(c * CHUNK < count)
-        def _p2():
+        def _chunk():
             q = _chunk_quantities(pairs_ref, c * CHUNK, px, py)
             la = q["la"]
-            cum = pref_ref[:, 1:2] + jnp.dot(
+            cum = bounds_ref[0, c, :][:, None] + jnp.dot(
                 la, tri, preferred_element_type=jnp.float32
             )
             t_incl = jnp.exp(cum)
@@ -223,16 +219,16 @@ def _bwd_kernel(count_ref, pairs_ref, g_ref, dpairs_ref, acc_ref, pref_ref,
 
             u = payload(q)
             wu = w * u
-            pref_wu_in = pref_ref[:, 0:1] + jnp.dot(
-                wu, tri, preferred_element_type=jnp.float32
-            )
-            suffix_u = u_tot - pref_wu_in
+            incl = jnp.dot(wu, tri, preferred_element_type=jnp.float32)
+            chunk_tot = incl[:, CHUNK - 1:CHUNK]
+            # sum_{j>i} wu_j = (in-chunk strict suffix) + later-chunk acc
+            suffix_u = (chunk_tot - incl) + acc_ref[:, 0:1]
             dalpha = (
                 u * t_before
                 - suffix_u * inv_1ma
                 - g_tf * t_final * inv_1ma
             )
-            pref_ref[:, 0:1] = pref_wu_in[:, CHUNK - 1:CHUNK]
+            acc_ref[:, 0:1] += chunk_tot
 
             unclamped = (q["raw"] < ALPHA_MAX).astype(jnp.float32)
             dalpha = jnp.where(applied, dalpha, 0.0) * unclamped
@@ -252,14 +248,14 @@ def _bwd_kernel(count_ref, pairs_ref, g_ref, dpairs_ref, acc_ref, pref_ref,
             dpairs_ref[0, F_B, sl] = jnp.sum(g_c[:, 2:3] * w, axis=0, keepdims=True)[0, :]
             dpairs_ref[0, F_DEPTH, sl] = jnp.sum(g_d * w, axis=0, keepdims=True)[0, :]
 
-            pref_ref[:, 1:2] = cum[:, CHUNK - 1:CHUNK]
 
-
-def _composite_fwd_impl(pairs, tile_count, *, tx_n, ty_n, tile, img_w, img_h):
+def _composite_fwd_impl(pairs, tile_count, *, tx_n, ty_n, tile, img_w, img_h,
+                        tiles_per_view=None):
     num_tiles, _, k = pairs.shape
     npix = tile * tile
     kern = functools.partial(
-        _fwd_kernel, k=k, tx_n=tx_n, tile=tile, img_w=img_w, img_h=img_h
+        _fwd_kernel, k=k, tx_n=tx_n, tile=tile, img_w=img_w, img_h=img_h,
+        tiles_per_view=tiles_per_view,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -270,25 +266,27 @@ def _composite_fwd_impl(pairs, tile_count, *, tx_n, ty_n, tile, img_w, img_h):
         out_specs=[
             pl.BlockSpec((1, npix, 8), lambda i, c: (i, 0, 0)),
             pl.BlockSpec((1, 1, k), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, k // CHUNK, npix), lambda i, c: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((npix, 8), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
-    out, nt = pl.pallas_call(
+    out, nt, bounds = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, npix, 8), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, 1, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, k // CHUNK, npix), jnp.float32),
         ],
         interpret=_interpret(),
     )(tile_count, pairs)
     color = out[:, :, 0:NCH]
     depth = out[:, :, NCH]
     t_final = out[:, :, NCH + 1]
-    return color, depth, t_final, nt[:, 0, :]
+    return color, depth, t_final, nt[:, 0, :], bounds
 
 
 def _pairs_from_fields(fields_geo, fields_app, pair_gid, tile_start, tile_count, k):
@@ -351,7 +349,7 @@ def _cff_impl(fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_star
     pairs = _pairs_from_fields(fields_geo, fields_app, pair_gid, tile_start, tile_count, k)
     return _composite_fwd_impl(
         pairs, tile_count, tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h
-    )
+    )[:4]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
@@ -374,20 +372,22 @@ def _cff_fwd(fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start
              bygid_perm, gid_start, gid_count,
              tx_n, ty_n, tile, img_w, img_h, k):
     # save the dense pair blocks as the residual (T*K*10 f32, ~25 MB at
-    # production shapes) so the backward pass skips rebuilding them
+    # production shapes) so the backward pass skips rebuilding them; the
+    # chunk-entry transmittance boundaries + t_final let the backward run
+    # a SINGLE reverse pass (no totals pre-pass)
     pairs = _pairs_from_fields(fields_geo, fields_app, pair_gid, tile_start,
                                tile_count, k)
-    outs = _composite_fwd_impl(
+    color, depth, t_final, nt, bounds = _composite_fwd_impl(
         pairs, tile_count, tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w,
         img_h=img_h,
     )
-    res = (pairs, fields_geo.shape[0], tile_count, pair_tile, tile_start,
+    res = (pairs, bounds, t_final, tile_count, pair_tile, tile_start,
            bygid_perm, gid_start, gid_count)
-    return outs, res
+    return (color, depth, t_final, nt), res
 
 
 def _cff_bwd(tx_n, ty_n, tile, img_w, img_h, k, res, g):
-    (pairs, _n_pad, tile_count, pair_tile, tile_start,
+    (pairs, bounds, t_final, tile_count, pair_tile, tile_start,
      bygid_perm, gid_start, gid_count) = res
     g_color, g_depth, g_tf, _g_nt = g
     num_tiles = tile_start.shape[0]
@@ -397,7 +397,8 @@ def _cff_bwd(tx_n, ty_n, tile, img_w, img_h, k, res, g):
             g_color,
             g_depth[:, :, None],
             g_tf[:, :, None],
-            jnp.zeros((num_tiles, npix, 3), jnp.float32),
+            t_final[:, :, None],
+            jnp.zeros((num_tiles, npix, 2), jnp.float32),
         ],
         axis=2,
     )
@@ -410,10 +411,10 @@ def _cff_bwd(tx_n, ty_n, tile, img_w, img_h, k, res, g):
         in_specs=[
             pl.BlockSpec((1, NUM_FIELDS, k), lambda i, c: (i, 0, 0)),
             pl.BlockSpec((1, npix, 8), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, k // CHUNK, npix), lambda i, c: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, NUM_FIELDS, k), lambda i, c: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((npix, 8), jnp.float32),
             pltpu.VMEM((npix, 8), jnp.float32),
         ],
     )
@@ -422,7 +423,7 @@ def _cff_bwd(tx_n, ty_n, tile, img_w, img_h, k, res, g):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, NUM_FIELDS, k), jnp.float32),
         interpret=_interpret(),
-    )(tile_count, pairs, gbuf)
+    )(tile_count, pairs, gbuf, bounds)
 
     drows = dpairs.transpose(0, 2, 1).reshape(num_tiles * k, NUM_FIELDS)
     # independent reductions per field group: pose-only consumers
@@ -440,3 +441,139 @@ def _cff_bwd(tx_n, ty_n, tile, img_w, img_h, k, res, g):
 
 
 composite_from_fields.defvjp(_cff_fwd, _cff_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-view batched compositor: V views stacked into one kernel grid
+# ---------------------------------------------------------------------------
+
+
+def _multi_bwd_impl(pairs, bounds, t_final, tile_count, pair_tile, tile_start,
+                    bygid_perm, gid_start, gid_count, g_color, g_depth, g_tf,
+                    tx_n, ty_n, tile, img_w, img_h, k):
+    """Shared backward body for the batched compositor. Leading dims:
+    pairs (VT, F, K); per-view index arrays (V, ...)."""
+    vt = pairs.shape[0]
+    v = tile_start.shape[0]
+    tiles_per_view = vt // v
+    npix = tile * tile
+    gbuf = jnp.concatenate(
+        [
+            g_color,
+            g_depth[:, :, None],
+            g_tf[:, :, None],
+            t_final[:, :, None],
+            jnp.zeros((vt, npix, 2), jnp.float32),
+        ],
+        axis=2,
+    )
+    kern = functools.partial(
+        _bwd_kernel, k=k, tx_n=tx_n, tile=tile, img_w=img_w, img_h=img_h,
+        tiles_per_view=tiles_per_view,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(vt,),
+        in_specs=[
+            pl.BlockSpec((1, NUM_FIELDS, k), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, npix, 8), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, k // CHUNK, npix), lambda i, c: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, NUM_FIELDS, k), lambda i, c: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((npix, 8), jnp.float32),
+        ],
+    )
+    dpairs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((vt, NUM_FIELDS, k), jnp.float32),
+        interpret=_interpret(),
+    )(tile_count.reshape(-1), pairs, gbuf, bounds)
+
+    drows = dpairs.transpose(0, 2, 1).reshape(v, tiles_per_view * k, NUM_FIELDS)
+
+    def reduce_view(rows, p_tile, t_start, perm, g_start, g_count):
+        g_geo = reduce_pairs_by_gaussian(
+            rows[:, :NUM_GEO], p_tile, t_start, perm, g_start, g_count,
+            tiles_per_view, k,
+        )
+        g_app = reduce_pairs_by_gaussian(
+            rows[:, NUM_GEO:], p_tile, t_start, perm, g_start, g_count,
+            tiles_per_view, k,
+        )
+        return g_geo, g_app
+
+    g_geo, g_app = jax.vmap(reduce_view)(
+        drows, pair_tile, tile_start, bygid_perm, gid_start, gid_count
+    )
+    return g_geo, g_app
+
+
+def _cffm_impl(fields_geo, fields_app, pair_gid, tile_count, pair_tile,
+               tile_start, bygid_perm, gid_start, gid_count,
+               tx_n, ty_n, tile, img_w, img_h, k):
+    tiles_per_view = tx_n * ty_n
+    dense = jax.vmap(
+        lambda fg, fa, pg, ts, tc: _pairs_from_fields(fg, fa, pg, ts, tc, k)
+    )(fields_geo, fields_app, pair_gid, tile_start, tile_count)  # (V, T, F, K)
+    v = dense.shape[0]
+    pairs = dense.reshape(v * tiles_per_view, NUM_FIELDS, k)
+    color, depth, t_final, nt, bounds = _composite_fwd_impl(
+        pairs, tile_count.reshape(-1), tx_n=tx_n, ty_n=ty_n, tile=tile,
+        img_w=img_w, img_h=img_h, tiles_per_view=tiles_per_view,
+    )
+    npix = tile * tile
+    shape_v = lambda a: a.reshape((v, tiles_per_view) + a.shape[1:])
+    return (shape_v(color), shape_v(depth), shape_v(t_final), shape_v(nt)), (
+        pairs, bounds, t_final,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def composite_from_fields_multi(
+    fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
+    bygid_perm, gid_start, gid_count,
+    tx_n, ty_n, tile, img_w, img_h, k,
+):
+    """Batched compositor: V views in ONE kernel launch (grid = V * tiles).
+    fields_geo (V, N+1, 6), fields_app (V, N+1, 4), index arrays (V, ...)
+    -> per-view (V, T, npix[, C]) outputs. Used by the mapping backend to
+    render the whole keyframe window per iteration without per-view
+    dispatch."""
+    return _cffm_impl(
+        fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
+        bygid_perm, gid_start, gid_count,
+        tx_n, ty_n, tile, img_w, img_h, k,
+    )[0]
+
+
+def _cffm_fwd(fields_geo, fields_app, pair_gid, tile_count, pair_tile,
+              tile_start, bygid_perm, gid_start, gid_count,
+              tx_n, ty_n, tile, img_w, img_h, k):
+    outs, (pairs, bounds, t_final_flat) = _cffm_impl(
+        fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
+        bygid_perm, gid_start, gid_count,
+        tx_n, ty_n, tile, img_w, img_h, k,
+    )
+    res = (pairs, bounds, t_final_flat, tile_count, pair_tile, tile_start,
+           bygid_perm, gid_start, gid_count)
+    return outs, res
+
+
+def _cffm_bwd(tx_n, ty_n, tile, img_w, img_h, k, res, g):
+    (pairs, bounds, t_final_flat, tile_count, pair_tile, tile_start,
+     bygid_perm, gid_start, gid_count) = res
+    g_color, g_depth, g_tf, _g_nt = g
+    vt = pairs.shape[0]
+    flat = lambda a: a.reshape((vt,) + a.shape[2:])
+    g_geo, g_app = _multi_bwd_impl(
+        pairs, bounds, t_final_flat, tile_count, pair_tile, tile_start,
+        bygid_perm, gid_start, gid_count,
+        flat(g_color), flat(g_depth), flat(g_tf),
+        tx_n, ty_n, tile, img_w, img_h, k,
+    )
+    return (g_geo, g_app, None, None, None, None, None, None, None)
+
+
+composite_from_fields_multi.defvjp(_cffm_fwd, _cffm_bwd)

@@ -32,6 +32,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
 
 from fourdgs.geometry.se3 import se3_exp
 from fourdgs.models.gaussian_map import (
@@ -41,6 +44,7 @@ from fourdgs.models.gaussian_map import (
     adam_step,
 )
 from fourdgs.ops.rasterize import RasterConfig, rasterize
+from fourdgs.ops.rasterize.api import rasterize_multi
 from fourdgs.slam.camera import Intrinsics
 from fourdgs.slam.keyframes import KeyframeStore
 from fourdgs.slam.losses import apply_exposure, isotropic_loss, mapping_loss_rgbd
@@ -115,7 +119,103 @@ def _render_view(gmap: GaussianMap, T_cw, proj, intr: Intrinsics, cfg: MappingCo
     )
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg"))
+def _render_views(gmap: GaussianMap, T_cws, proj, intr: Intrinsics,
+                  cfg: MappingConfig, mean2d_offsets=None):
+    """Batched render of V views of the shared map (one kernel launch)."""
+    return rasterize_multi(
+        gmap.params.xyz,
+        gmap.get_scaling,
+        gmap.get_rotation,
+        gmap.get_opacity,
+        gmap.get_color,
+        gmap.alive,
+        T_cws,
+        proj,
+        jnp.zeros(3),
+        fx=intr.fx, fy=intr.fy, width=intr.width, height=intr.height,
+        tan_fovx=intr.tan_fovx, tan_fovy=intr.tan_fovy,
+        mean2d_offsets=mean2d_offsets,
+        config=cfg.raster,
+    )
+
+
+def _view_set_loss(
+    g: GaussianMap,
+    store: KeyframeStore,
+    slots: jax.Array,     # (V,) int32
+    valids: jax.Array,    # (V,) bool
+    dtaus: jax.Array,     # (V, 6)
+    dexps: jax.Array,     # (V, 2)
+    taps: jax.Array,      # (V, cap, 2) mean2d gradient taps
+    ems,                  # (V, H, W) bool extra masks or None
+    proj: jax.Array,
+    intr: Intrinsics,
+    cfg: MappingConfig,
+):
+    """Sum of per-view mapping losses over a view set (ONE batched render;
+    no isotropic term — the caller adds it once). Shared by the
+    single-device and the mesh-sharded `map_chunk` gradient paths."""
+    # ONE batched render of the whole view set (vs the reference's
+    # sequential per-viewpoint renders, slam_backend.py:306-774)
+    T_vs = jax.vmap(lambda tau, slot: se3_exp(tau) @ store.T_cw[slot])(
+        dtaus, slots
+    )
+    exp_abs = store.exposure[slots] + dexps            # (V, 2)
+    images_gt = store.images_u8[slots].astype(jnp.float32) / 255.0
+    depths_gt = store.depths[slots]
+    motions = store.motion[slots]
+    out = _render_views(g, T_vs, proj, intr, cfg, mean2d_offsets=taps)
+    images_ab = jax.vmap(apply_exposure)(
+        out.color, exp_abs[:, 0], exp_abs[:, 1]
+    )
+
+    if cfg.refine:
+        # color refinement: (1-lambda)*L1 + lambda*(1-SSIM) + 0.1*L1depth,
+        # motion-masked (reference color_refinement,
+        # slam_backend.py:820-840)
+        from fourdgs.ops.image import ssim
+
+        def refine_loss(image_ab, image_gt, depth, depth_gt, motion):
+            mf = motion.astype(jnp.float32)[None]
+            l1 = jnp.mean(jnp.abs((image_ab - image_gt) * mf))
+            dmask = ((depth_gt > 0.01) & motion).astype(jnp.float32)
+            l1d = jnp.mean(jnp.abs((depth - depth_gt) * dmask))
+            return (
+                (1 - cfg.lambda_dssim) * l1
+                + cfg.lambda_dssim * (1.0 - ssim(image_ab * mf, image_gt * mf))
+                + 0.1 * l1d
+            )
+
+        per_view = jax.vmap(refine_loss)(
+            images_ab, images_gt, out.depth, depths_gt, motions
+        )
+    elif cfg.monocular:
+        # rgb-only mapping (get_loss_mapping_rgb, utils/slam_utils.py:263-272)
+        rgb_masks = (
+            jnp.sum(images_gt, axis=1) > cfg.rgb_boundary_threshold
+        ).astype(jnp.float32)[:, None]
+        per_view = jnp.mean(
+            jnp.abs((images_ab - images_gt) * rgb_masks), axis=(1, 2, 3)
+        )
+    else:
+        per_view = jax.vmap(
+            lambda ia, ig, d, dg, m, em: mapping_loss_rgbd(
+                ia, d, ig, dg,
+                motion_mask=m,
+                extra_mask=em,
+                alpha=cfg.alpha,
+                rgb_boundary_threshold=cfg.rgb_boundary_threshold,
+                rm_dynamic=cfg.rm_dynamic,
+            ),
+            in_axes=(0, 0, 0, 0, 0, None if ems is None else 0),
+        )(images_ab, images_gt, out.depth, depths_gt, motions, ems)
+
+    total = jnp.sum(jnp.where(valids, per_view, 0.0))
+    radii_oks = (out.radii > 0) & valids[:, None]
+    return total, radii_oks
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "mesh"))
 def map_chunk(
     gmap: GaussianMap,
     adam: AdamState,
@@ -133,11 +233,34 @@ def map_chunk(
     intr: Intrinsics,
     cfg: MappingConfig = MappingConfig(),
     extra_masks: jax.Array | None = None,  # (Vw, H, W) bool reproject masks
+    mesh: jax.sharding.Mesh | None = None,
 ) -> MapChunkResult:
+    """With `mesh`, the per-iteration render+gradient fans out over the
+    mesh's first axis (views sharded, map replicated, param-grads psum'd)
+    via shard_map — the reference has no multi-device mapping at all; this
+    is the production `map_chunk`, not a demo objective. The view set is
+    padded to a multiple of the device count with invalid views."""
     proj = intr.proj()
     vw = cfg.num_window_views
     vr = cfg.num_random_views
     cap = gmap.capacity
+    nv = vw + vr
+    if mesh is not None:
+        ndev = int(np.prod(mesh.devices.shape))
+        nvp = -(-nv // ndev) * ndev   # padded view count
+    else:
+        ndev, nvp = 1, nv
+    # reproject masks: window views use theirs, replay/padded views pass
+    # all-ones (AND-identity in mapping_loss_rgbd)
+    if extra_masks is not None:
+        ems = jnp.concatenate(
+            [extra_masks,
+             jnp.ones((nvp - vw,) + extra_masks.shape[1:], bool)]
+        )
+    elif mesh is not None:
+        ems = jnp.ones((nvp, store.images_u8.shape[2], store.images_u8.shape[3]), bool)
+    else:
+        ems = None
     pose_lr = jnp.concatenate(
         [
             jnp.full((3,), cfg.lr_trans),
@@ -155,83 +278,69 @@ def map_chunk(
         r1 = jax.random.randint(ki, (), 0, size)
         r2 = jax.random.randint(jax.random.fold_in(ki, 1), (), 0, jnp.maximum(size - 1, 1))
         r2 = jnp.where(r2 >= r1, r2 + 1, r2) % size
-        rand_slots = jnp.stack([rand_pool[r1], rand_pool[r2]])
+        rand_slots = jnp.stack([rand_pool[r1], rand_pool[r2]])[:vr]
         rand_valid = jnp.arange(vr) < jnp.minimum(rand_pool_size, vr)
 
-        slots = jnp.concatenate([window_slots, rand_slots])
-        valids = jnp.concatenate([window_valid, rand_valid])
+        slots = jnp.concatenate(
+            [window_slots, rand_slots, jnp.zeros(nvp - nv, jnp.int32)]
+        )
+        valids = jnp.concatenate(
+            [window_valid, rand_valid, jnp.zeros(nvp - nv, bool)]
+        )
 
-        def loss_fn(params, dtaus, dexps, taps):
-            g = gmap._replace(params=params)
+        taps = jnp.zeros((nvp, cap, 2))
+        dtaus = jnp.zeros((nvp, 6))
+        dexps = jnp.zeros((nvp, 2))
 
-            def view_loss(carry, inp):
-                v, = inp
-                slot = slots[v]
-                tau = dtaus[v]
-                T_v = se3_exp(tau) @ store.T_cw[slot]
-                exp_ab = store.exposure[slot] + dexps[v]
-                image_gt = store.images_u8[slot].astype(jnp.float32) / 255.0
-                depth_gt = store.depths[slot]
-                motion = store.motion[slot]
-                out = _render_view(g, T_v, proj, intr, cfg, mean2d_offset=taps[v])
-                image_ab = apply_exposure(out.color, exp_ab[0], exp_ab[1])
-                if cfg.refine:
-                    # color refinement: (1-lambda)*L1 + lambda*(1-SSIM) +
-                    # 0.1*L1depth, motion-masked (reference
-                    # color_refinement, slam_backend.py:820-840)
-                    from fourdgs.ops.image import ssim
-
-                    mf = motion.astype(jnp.float32)[None]
-                    l1 = jnp.mean(jnp.abs((image_ab - image_gt) * mf))
-                    dmask = ((depth_gt > 0.01) & motion).astype(jnp.float32)
-                    l1d = jnp.mean(jnp.abs((out.depth - depth_gt) * dmask))
-                    l = (
-                        (1 - cfg.lambda_dssim) * l1
-                        + cfg.lambda_dssim * (1.0 - ssim(image_ab * mf, image_gt * mf))
-                        + 0.1 * l1d
-                    )
-                elif cfg.monocular:
-                    # rgb-only mapping (get_loss_mapping_rgb,
-                    # utils/slam_utils.py:263-272)
-                    rgb_mask = (
-                        jnp.sum(image_gt, axis=0) > cfg.rgb_boundary_threshold
-                    ).astype(jnp.float32)[None]
-                    l = jnp.mean(jnp.abs((image_ab - image_gt) * rgb_mask))
-                else:
-                    # reproject_mask for window views when provided
-                    # (reference rm_initdy path, slam_backend.py:586-590 +
-                    # slam_utils.py:292-294); random replay views carry no
-                    # mask, like the reference's window-indexed viewpoints
-                    em = None
-                    if extra_masks is not None:
-                        em = jnp.where(v < vw, extra_masks[jnp.minimum(v, vw - 1)], True)
-                    l = mapping_loss_rgbd(
-                        image_ab, out.depth, image_gt, depth_gt,
-                        motion_mask=motion,
-                        extra_mask=em,
-                        alpha=cfg.alpha,
-                        rgb_boundary_threshold=cfg.rgb_boundary_threshold,
-                        rm_dynamic=cfg.rm_dynamic,
-                    )
-                l = jnp.where(valids[v], l, 0.0)
-                radii_ok = (out.radii > 0) & valids[v]
-                return carry + l, radii_ok
-
-            total, radii_oks = jax.lax.scan(
-                view_loss, 0.0, (jnp.arange(vw + vr),)
+        def iso_fn(params):
+            return cfg.isotropic_weight * isotropic_loss(
+                jnp.exp(params.scaling), gmap.alive
             )
-            total = total + cfg.isotropic_weight * isotropic_loss(
-                jnp.exp(params.scaling), g.alive
-            )
-            return total, radii_oks
 
-        taps = jnp.zeros((vw + vr, cap, 2))
-        dtaus = jnp.zeros((vw + vr, 6))
-        dexps = jnp.zeros((vw + vr, 2))
-        (loss_val, radii_oks), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
-        )(gmap.params, dtaus, dexps, taps)
-        g_params, g_taus, g_exps, g_taps = grads
+        if mesh is None:
+            def loss_fn(params, dtaus, dexps, taps):
+                g = gmap._replace(params=params)
+                total, radii_oks = _view_set_loss(
+                    g, store, slots, valids, dtaus, dexps, taps, ems,
+                    proj, intr, cfg,
+                )
+                return total + iso_fn(params), radii_oks
+
+            (loss_val, radii_oks), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+            )(gmap.params, dtaus, dexps, taps)
+            g_params, g_taus, g_exps, g_taps = grads
+        else:
+            # views sharded over the mesh axis, map replicated: each device
+            # renders nvp/ndev views and backprops them; param-grads and the
+            # scalar loss are psum'd, per-view grads stay sharded
+            ax = mesh.axis_names[0]
+
+            def shard_fn(slots_l, valids_l, dtaus_l, dexps_l, taps_l, ems_l):
+                def local_loss(params, dt, de, tp):
+                    g = gmap._replace(params=params)
+                    return _view_set_loss(
+                        g, store, slots_l, valids_l, dt, de, tp, ems_l,
+                        proj, intr, cfg,
+                    )
+
+                (l, radii_l), gr = jax.value_and_grad(
+                    local_loss, argnums=(0, 1, 2, 3), has_aux=True
+                )(gmap.params, dtaus_l, dexps_l, taps_l)
+                return (
+                    jax.lax.psum(l, ax), radii_l,
+                    jax.lax.psum(gr[0], ax), gr[1], gr[2], gr[3],
+                )
+
+            loss_views, radii_oks, g_params, g_taus, g_exps, g_taps = shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
+                out_specs=(P(), P(ax), P(), P(ax), P(ax), P(ax)),
+                check_rep=False,
+            )(slots, valids, dtaus, dexps, taps, ems)
+            iso_val, iso_grad = jax.value_and_grad(iso_fn)(gmap.params)
+            loss_val = loss_views + iso_val
+            g_params = jax.tree.map(jnp.add, g_params, iso_grad)
 
         # --- densification stats (reference :749-760 uses radii>0) ---
         norms = jnp.linalg.norm(g_taps, axis=-1)              # (V, cap)
@@ -321,15 +430,8 @@ def window_visibility(
     proj = intr.proj()
     raster = cfg.raster._replace(with_n_touched=True)
     cfg_nt = cfg._replace(raster=raster)
-
-    def one(args):
-        slot, ok = args
-        out = _render_view(gmap, store.T_cw[slot], proj, intr, cfg_nt)
-        return (out.n_touched > 0) & ok
-
-    # lax.map (sequential) rather than vmap: the Pallas compositor has no
-    # batching rule
-    return jax.lax.map(one, (window_slots, window_valid))
+    out = _render_views(gmap, store.T_cw[window_slots], proj, intr, cfg_nt)
+    return (out.n_touched > 0) & window_valid[:, None]
 
 
 @partial(jax.jit, static_argnames=("intr", "cfg"))

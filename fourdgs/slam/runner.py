@@ -103,15 +103,47 @@ class SLAM:
         ).get("dynamic_model", True):
             from fourdgs.perception.segmentation import make_segmenter
 
-            self.dataset.mask_fn = make_segmenter(config, self.intr)
+            seg = make_segmenter(config, self.intr)
+            if getattr(seg, "pose_provider", False) is None:
+                # geometric fallback segmenter: feed it the runner's
+                # constant-velocity prediction from TRACKED poses (never
+                # the dataset's GT — that would GT-assist segmentation)
+                seg.pose_provider = self._predict_pose
+            self.dataset.mask_fn = seg
         n_frames = len(self.dataset)
         if max_frames is not None:
             n_frames = min(n_frames, max_frames)
         self.n_frames = n_frames
 
         self.monocular = bool(tr.get("monocular", False))
+        # multi-chip mapping: shard the mapping view set over a device mesh
+        # (Training.mesh_devices > 1). Views are data-parallel, the map is
+        # replicated, param-grads psum over ICI — see map_chunk(mesh=...).
+        self.mesh = None
+        mesh_devices = int(tr.get("mesh_devices", 0))
+        if mesh_devices > 1:
+            import jax as _jax
+
+            avail = len(_jax.devices())
+            if avail >= mesh_devices:
+                from fourdgs.parallel import make_mesh
+
+                self.mesh = make_mesh(mesh_devices)
+            else:
+                print(
+                    f"[runner] mesh_devices={mesh_devices} requested but only "
+                    f"{avail} devices available — running single-device"
+                )
         self.max_capacity = max_capacity
-        self._raster_base = raster or RasterConfig()
+        if raster is None:
+            import jax as _jax
+
+            # on CPU the Pallas tile kernel only runs in interpret mode
+            # (a debug path, ~100x slow); default to the numerically
+            # equivalent pure-jnp oracle compositor there. Kernel parity
+            # vs the oracle is pinned by tests/test_rasterizer.py.
+            raster = RasterConfig(use_oracle=_jax.default_backend() == "cpu")
+        self._raster_base = raster
         self.raster = self._raster_for_capacity(capacity)
         self.track_cfg = TrackingConfig(
             max_iters=self.tracking_itr_num,
@@ -490,6 +522,7 @@ class SLAM:
                 jnp.int32(self.iteration_count),
                 self.intr, self.map_cfg,
                 extra_masks=extra_masks,
+                mesh=self.mesh,
             )
             self.gmap, self.adam, self.store, pose_adam = (
                 res.gmap, res.adam, res.store, res.pose_adam
@@ -606,6 +639,7 @@ class SLAM:
                 jnp.int32(chunk), jnp.int32(-1),
                 jnp.int32(self.iteration_count),
                 self.intr, self.map_cfg,
+                mesh=self.mesh,
             )
             self.gmap, self.adam, self.store, pose_adam = (
                 res.gmap, res.adam, res.store, res.pose_adam
@@ -677,6 +711,19 @@ class SLAM:
             self._run_mapping_dynamic(iter_per_kf, step_after)
         else:
             self._run_mapping(iter_per_kf, step_after, prune=True)
+
+    def _predict_pose(self) -> np.ndarray:
+        """Constant-velocity w2c prediction for the incoming frame, from
+        TRACKED poses only (segmentation pose source — reference seeds its
+        flow/seg stack from estimates, never GT)."""
+        if not self.poses_est:
+            return np.eye(4, dtype=np.float32)
+        ks = sorted(self.poses_est)
+        T1 = self.poses_est[ks[-1]]
+        if len(ks) == 1:
+            return T1
+        T0 = self.poses_est[ks[-2]]
+        return (T1 @ np.linalg.inv(T0) @ T1).astype(np.float32)
 
     def run(self, warmup_frames: int = 0) -> dict:
         """Process the sequence. `warmup_frames` excludes the first N
@@ -802,7 +849,7 @@ class SLAM:
             # iteration (update_learning_rate(iteration),
             # slam_backend.py:854), not the global count
             jnp.int32(iterations), jnp.int32(-1), jnp.int32(0),
-            self.intr, refine_cfg,
+            self.intr, refine_cfg, mesh=self.mesh,
         )
         self.gmap, self.adam, self.store = res.gmap, res.adam, res.store
 

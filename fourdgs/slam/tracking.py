@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from fourdgs.geometry.se3 import se3_exp
 from fourdgs.models.gaussian_map import GaussianMap
 from fourdgs.ops.rasterize import RasterConfig, rasterize
+from fourdgs.ops.rasterize.api import compute_bins
 from fourdgs.slam.camera import Frame, Intrinsics
 from fourdgs.slam.losses import apply_exposure, median_depth, tracking_loss_rgbd
 
@@ -39,6 +40,12 @@ class TrackingConfig(NamedTuple):
     alpha: float = 0.9
     rgb_boundary_threshold: float = 0.01
     converged_threshold: float = 1e-4
+    # tile binning is recomputed every `rebin_every` iterations instead of
+    # every render: per-iteration pose deltas (<1e-3) move screen means by
+    # far less than a 16px tile, so assignments are stable between re-bins
+    # (exact re-bin at the final render; 1 = reference behavior of
+    # re-sorting every call)
+    rebin_every: int = 8
     raster: RasterConfig = RasterConfig()
 
 
@@ -89,19 +96,28 @@ def track_frame(
         ]
     )
 
-    def render_at(T_cw):
+    def render_at(T_cw, bins=None):
         return rasterize(
             xyz, scales, quats, opac, colors, static_alive, T_cw, proj, bg,
             fx=intr.fx, fy=intr.fy, width=intr.width, height=intr.height,
             tan_fovx=intr.tan_fovx, tan_fovy=intr.tan_fovy,
             config=config.raster,
+            bins=bins,
         )
 
-    def loss_fn(delta, T_cw):
+    def bins_at(T_cw):
+        return compute_bins(
+            xyz, scales, quats, static_alive, T_cw, proj,
+            fx=intr.fx, fy=intr.fy, width=intr.width, height=intr.height,
+            tan_fovx=intr.tan_fovx, tan_fovy=intr.tan_fovy,
+            config=config.raster,
+        )
+
+    def loss_fn(delta, T_cw, bins):
         # delta = [trans(3), rot(3), exposure_a, exposure_b]
         tau = jnp.concatenate([delta[:3], delta[3:6]])
         T = se3_exp(tau) @ T_cw
-        out = render_at(T)
+        out = render_at(T, bins=bins)
         image_ab = apply_exposure(out.color, delta[6], delta[7])
         motion = frame.motion_mask if use_motion_mask else None
         # the reference skips the motion mask on frame 0 (uid > 0 check)
@@ -131,9 +147,17 @@ def track_frame(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def body(state):
-        T_cw, exp_ab, mu, nu, count, _, _ = state
+        T_cw, exp_ab, mu, nu, count, _, _, bins = state
+        if config.rebin_every > 1:
+            bins = jax.lax.cond(
+                count % config.rebin_every == 0,
+                lambda: bins_at(T_cw),
+                lambda: bins,
+            )
+        else:
+            bins = bins_at(T_cw)
         delta0 = jnp.concatenate([jnp.zeros(6), exp_ab])
-        (loss_val, _), g = grad_fn(delta0, T_cw)
+        (loss_val, _), g = grad_fn(delta0, T_cw, bins)
         count = count + 1
         step, mu, nu = _adam_update(g, mu, nu, count, lr)
         upd = -step
@@ -141,11 +165,10 @@ def track_frame(
         T_new = se3_exp(tau) @ T_cw
         exp_new = exp_ab + upd[6:8]
         converged = jnp.linalg.norm(tau) < config.converged_threshold
-        return (T_new, exp_new, mu, nu, count, converged, loss_val)
+        return (T_new, exp_new, mu, nu, count, converged, loss_val, bins)
 
     def cond(state):
-        _, _, _, _, count, converged, _ = state
-        return (count < config.max_iters) & ~converged
+        return (state[4] < config.max_iters) & ~state[5]
 
     init = (
         T_init,
@@ -155,8 +178,9 @@ def track_frame(
         jnp.zeros((), jnp.int32),
         jnp.asarray(False),
         jnp.asarray(jnp.inf, jnp.float32),
+        bins_at(T_init),
     )
-    T_cw, exp_ab, _, _, count, _, loss_val = jax.lax.while_loop(cond, body, init)
+    T_cw, exp_ab, _, _, count, _, loss_val, _ = jax.lax.while_loop(cond, body, init)
 
     out = render_at(T_cw)
     med, _, _ = median_depth(out.depth, out.alpha)

@@ -60,6 +60,42 @@ def test_sharded_map_step_runs_and_descends(mesh):
     assert np.all(np.isfinite(losses))
 
 
+def test_map_chunk_sharded_matches_single_device(mesh):
+    """The PRODUCTION mapping step under shard_map (views sharded over the
+    mesh, map replicated, grads psum'd) must match the single-device
+    `map_chunk` — same window/replay picks, pose+exposure optimization,
+    isotropic loss, densification stats — after several iterations."""
+    from tests.test_mapping import CFG, INTR as MINTR, _setup
+    from fourdgs.slam.mapping import init_pose_adam, map_chunk
+
+    gmap, adam, store, img, depth = _setup()
+    window_slots = jnp.array([0, 0], jnp.int32)
+    window_valid = jnp.array([True, False])
+    opt_pose = jnp.array([False, True])
+    args = (window_slots, window_valid, opt_pose, jnp.zeros(8, jnp.int32),
+            jnp.int32(0), init_pose_adam(2), jax.random.key(5),
+            jnp.int32(3), jnp.int32(-1), jnp.int32(0), MINTR, CFG)
+
+    res1 = map_chunk(gmap, adam, store, *args)
+    res8 = map_chunk(gmap, adam, store, *args, mesh=mesh)
+
+    # measured float-reassociation noise at 3 iters is ~1e-6 (psum order
+    # vs single-sum); Adam amplifies sign flips of near-zero grads, so
+    # longer horizons diverge chaotically even for identical math
+    np.testing.assert_allclose(
+        float(res8.final_loss), float(res1.final_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(res1.gmap.params),
+                    jax.tree.leaves(res8.gmap.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(res1.store.T_cw), np.asarray(res8.store.T_cw), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(res1.gmap.denom), np.asarray(res8.gmap.denom), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(res1.gmap.grad_accum), np.asarray(res8.gmap.grad_accum),
+        atol=1e-5)
+
+
 def test_batch_render_sharded_matches_single(mesh):
     gmap, _ = build_map(n=96, cap=128)
     from tests.test_tracking import render_gt
