@@ -20,9 +20,9 @@ from fourdgs.ops.rasterize.binning import bin_gaussians, tile_grid
 from fourdgs.ops.rasterize.oracle import RenderOutputs, composite_oracle
 from fourdgs.ops.rasterize.preprocess import preprocess
 from fourdgs.ops.rasterize.tile_kernel import (
-    composite_from_fields,
-    composite_from_fields_multi,
-    reduce_pairs_by_gaussian,
+    composite_csr,
+    composite_csr_multi,
+    reduce_aligned_by_gaussian,
 )
 
 
@@ -137,22 +137,22 @@ def rasterize(
     )
     fields_geo = jnp.pad(fields_geo, ((0, 1), (0, 0)))  # zero row: gid == n
     fields_app = jnp.pad(fields_app, ((0, 1), (0, 0)))
-    color_t, depth_t, tf_t, nt_t = composite_from_fields(
+    color_t, depth_t, tf_t, nt_t = composite_csr(
         fields_geo,
         fields_app,
-        bins.pair_gid,
+        bins.aligned_gid,
+        bins.chunk_tile,
+        bins.chunk_first,
+        bins.chunk_last,
         bins.tile_count,
-        bins.pair_tile,
         bins.tile_start,
-        bins.bygid_perm,
-        bins.gid_start,
-        bins.gid_count,
+        bins.aligned_start,
+        (bins.bygid_aligned, bins.gid_start, bins.gid_count),
         tx_n,
         ty_n,
         config.tile,
         width,
         height,
-        config.tile_cap,
     )
 
     color = _assemble_image(color_t, tx_n, ty_n, config.tile, width, height)
@@ -161,15 +161,11 @@ def rasterize(
     color = color + t_final[None] * bg[:, None, None]
 
     if config.with_n_touched:
-        nt = reduce_pairs_by_gaussian(
-            jax.lax.stop_gradient(nt_t).reshape(-1, 1),
-            bins.pair_tile,
-            bins.tile_start,
-            bins.bygid_perm,
+        nt = reduce_aligned_by_gaussian(
+            jax.lax.stop_gradient(nt_t)[:, None],
+            bins.bygid_aligned,
             bins.gid_start,
             bins.gid_count,
-            tx_n * ty_n,
-            config.tile_cap,
         )[:n, 0].astype(jnp.int32)
     else:
         nt = jnp.zeros((n,), jnp.int32)
@@ -352,17 +348,20 @@ def rasterize_multi(
         sg = sg._replace(mean2d=sg.mean2d + mean2d_offsets)
 
     tx_n, ty_n = tile_grid(width, height, config.tile)
-    bins = jax.vmap(
-        lambda m, d, r, vis: bin_gaussians(
-            m, d, r, vis,
+    # sequential per-view binning (lax.map): XLA's batched (vmapped) sort
+    # runs ~2.5x slower than V back-to-back sorts at these shapes
+    bins = jax.lax.map(
+        lambda args: bin_gaussians(
+            args[0], args[1], args[2], args[3],
             width=width, height=height, tile=config.tile,
             max_rect=config.max_rect, max_pairs=config.max_pairs,
             tile_cap=config.tile_cap,
-        )
-    )(
-        jax.lax.stop_gradient(sg.mean2d),
-        jax.lax.stop_gradient(sg.depth),
-        sg.radius, sg.visible,
+        ),
+        (
+            jax.lax.stop_gradient(sg.mean2d),
+            jax.lax.stop_gradient(sg.depth),
+            sg.radius, sg.visible,
+        ),
     )
 
     n = sg.mean2d.shape[1]
@@ -374,11 +373,12 @@ def rasterize_multi(
     )  # (V, N, 4)
     fields_geo = jnp.pad(fields_geo, ((0, 0), (0, 1), (0, 0)))
     fields_app = jnp.pad(fields_app, ((0, 0), (0, 1), (0, 0)))
-    color_t, depth_t, tf_t, nt_t = composite_from_fields_multi(
+    color_t, depth_t, tf_t, nt_t = composite_csr_multi(
         fields_geo, fields_app,
-        bins.pair_gid, bins.tile_count, bins.pair_tile, bins.tile_start,
-        bins.bygid_perm, bins.gid_start, bins.gid_count,
-        tx_n, ty_n, config.tile, width, height, config.tile_cap,
+        bins.aligned_gid, bins.chunk_tile, bins.chunk_first, bins.chunk_last,
+        bins.tile_count, bins.tile_start, bins.aligned_start,
+        (bins.bygid_aligned, bins.gid_start, bins.gid_count),
+        tx_n, ty_n, config.tile, width, height,
     )
 
     asm = jax.vmap(
@@ -391,12 +391,10 @@ def rasterize_multi(
 
     if config.with_n_touched:
         nt = jax.vmap(
-            lambda ntv, pt, ts, perm, gs, gc: reduce_pairs_by_gaussian(
-                jax.lax.stop_gradient(ntv).reshape(-1, 1), pt, ts, perm, gs, gc,
-                tx_n * ty_n, config.tile_cap,
+            lambda ntv, ba, gs, gc: reduce_aligned_by_gaussian(
+                jax.lax.stop_gradient(ntv)[:, None], ba, gs, gc,
             )[:n, 0].astype(jnp.int32)
-        )(nt_t, bins.pair_tile, bins.tile_start, bins.bygid_perm,
-          bins.gid_start, bins.gid_count)
+        )(nt_t, bins.bygid_aligned, bins.gid_start, bins.gid_count)
     else:
         nt = jnp.zeros((v, n), jnp.int32)
 

@@ -33,6 +33,10 @@ import jax
 import jax.numpy as jnp
 
 
+# chunk granularity of the CSR compositor (must equal tile_kernel.CHUNK)
+CHUNK = 128
+
+
 class TileBins(NamedTuple):
     pair_gid: jax.Array     # (P,) int32 gaussian id per sorted pair (N = padding)
     pair_tile: jax.Array    # (P,) int32 tile id per sorted pair (num_tiles = padding)
@@ -44,6 +48,18 @@ class TileBins(NamedTuple):
     bygid_perm: jax.Array   # (P,) int32: pair-buffer positions grouped by gaussian id
     gid_start: jax.Array    # (N+1,) int32: first by-gid position per gaussian
     gid_count: jax.Array    # (N+1,) int32: pairs per gaussian
+    # --- CSR chunk layout (flat chunk-grid compositor) ---
+    # Pairs re-laid-out so every tile's segment starts on a CHUNK
+    # boundary; the kernel grid is one program per CHUNK of real pairs
+    # (plus alignment pad), so padded-tile waste never hits the DMA
+    # pipeline (the dense layout pays K=tile_cap per tile regardless of
+    # count).
+    aligned_gid: jax.Array    # (P,) int32 gaussian id per ALIGNED slot (N = pad)
+    aligned_start: jax.Array  # (num_tiles,) int32 aligned slot offset per tile
+    chunk_tile: jax.Array     # (P//CHUNK,) int32 tile of each chunk (num_tiles = pad)
+    chunk_first: jax.Array    # (P//CHUNK,) int32 1 if first chunk of its tile
+    chunk_last: jax.Array     # (P//CHUNK,) int32 1 if last chunk of its tile
+    bygid_aligned: jax.Array  # (P,) int32 aligned slot per by-gid pair (-1 = pad)
 
 
 def tile_grid(width: int, height: int, tile: int) -> tuple[int, int]:
@@ -129,15 +145,74 @@ def bin_gaussians(
         jnp.int32
     )
 
+    # --- CSR chunk layout: CHUNK-aligned per-tile segments -------------
+    n_chunks = -(-tile_count // CHUNK)                       # (T,)
+    chunk_start = (jnp.cumsum(n_chunks) - n_chunks).astype(jnp.int32)
+    total_chunks = chunk_start[-1] + n_chunks[-1]
+    c_max = max_pairs // CHUNK
+
+    cidx = jnp.arange(c_max, dtype=jnp.int32)
+    # tile owning chunk c: last t with chunk_start[t] <= c (zero-chunk
+    # tiles tie on start; side='right' lands past all ties, so only a
+    # tile with n_chunks>0 can own a chunk)
+    t_of = (
+        jnp.searchsorted(chunk_start, cidx, side="right").astype(jnp.int32) - 1
+    )
+    t_of = jnp.clip(t_of, 0, num_tiles - 1)
+    c_valid = cidx < total_chunks
+    chunk_pos = cidx - chunk_start[t_of]
+    chunk_tile = jnp.where(c_valid, t_of, num_tiles)
+    chunk_first = (c_valid & (chunk_pos == 0)).astype(jnp.int32)
+    chunk_last = (c_valid & (chunk_pos == n_chunks[t_of] - 1)).astype(jnp.int32)
+
+    aligned_start = chunk_start * CHUNK
+    # per-slot quantities via per-CHUNK gathers + broadcast (1-D per-slot
+    # gathers over max_pairs run ~15 ns/element on TPU — five of them cost
+    # more than the whole compositor kernel)
+    rep = lambda a: jnp.broadcast_to(
+        a[:, None], (c_max, CHUNK)
+    ).reshape(-1)
+    lane = jnp.tile(jnp.arange(CHUNK, dtype=jnp.int32), c_max)
+    src_base = tile_start[t_of] + chunk_pos * CHUNK          # (c_max,)
+    count_of = tile_count[t_of]                              # (c_max,)
+    k_sp = rep(chunk_pos * CHUNK) + lane
+    a_real = rep(c_valid.astype(jnp.int32)).astype(bool) & (
+        k_sp < rep(count_of)
+    )
+    src = jnp.clip(rep(src_base) + lane, 0, max_pairs - 1)
+    aligned_gid = jnp.where(a_real, pair_gid[src], n)
+
+    # by-gid -> aligned-slot mapping (backward reduction): pay the
+    # position gathers once here, not in every backward call. Aligned
+    # slot of by-tile pair p = p + shift[tile(p)].
+    shift = aligned_start - tile_start                       # (T,)
+    sp = jnp.arange(max_pairs, dtype=jnp.int32)
+    p_valid = pair_tile < num_tiles
+    aligned_pos = jnp.where(
+        p_valid,
+        jnp.clip(sp + shift[jnp.minimum(pair_tile, num_tiles - 1)],
+                 0, max_pairs - 1),
+        -1,
+    )
+    bygid_aligned = aligned_pos[bygid_perm]
+
     return TileBins(
         pair_gid=pair_gid,
         pair_tile=pair_tile,
         tile_start=tile_start,
         tile_count=tile_count,
         num_pairs=num_pairs,
-        overflow=num_pairs > max_pairs,
+        # aligned layout spills before the raw buffer does (alignment pad
+        # inflates by < num_tiles*CHUNK); fold it into the same flag
+        overflow=(num_pairs > max_pairs) | (total_chunks > c_max),
         truncated=jnp.any(tile_count > tile_cap),
         bygid_perm=bygid_perm,
         gid_start=gid_start,
         gid_count=gid_count,
+        aligned_gid=aligned_gid,
+        aligned_start=aligned_start,
+        chunk_tile=chunk_tile,
+        chunk_first=chunk_first,
+        chunk_last=chunk_last,
+        bygid_aligned=bygid_aligned,
     )

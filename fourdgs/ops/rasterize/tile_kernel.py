@@ -3,9 +3,10 @@
 Design (TPU-native replacement for cuda_rasterizer forward.cu renderCUDA /
 backward.cu renderCUDA):
 
-  * grid = one program per 16x16 image tile; the tile's depth-sorted
-    Gaussian list arrives as a dense (FIELDS, K) VMEM block produced by
-    the binner (padding entries have opacity 0 and contribute nothing).
+  * the binner emits a flat CHUNK-aligned CSR pair list (per-tile
+    contiguous segments); the kernel grid walks it SUBS chunks per
+    program — DMA streams exactly the real pairs (+ <CHUNK/tile
+    alignment pad), never a dense per-tile capacity.
   * inside a program, pixels live in SUBLANES (256 = 16x16 flattened) and
     Gaussians in LANES (chunks of 128), so every op is a well-tiled
     (256, 128) VPU op; the per-pixel transmittance recurrence is made
@@ -15,21 +16,25 @@ backward.cu renderCUDA):
   * termination (`T < 1e-4 -> done`) is exact without a sequential scan:
     T is monotone non-increasing over valid entries, so
     `applied = valid & (T_inclusive >= 1e-4)` reproduces the CUDA done
-    flag (see oracle.py for the argument).
-  * per-tile pair counts are scalar-prefetched; chunks past the count are
-    skipped with predicated execution, and a whole-tile early exit fires
-    once every pixel is saturated — the vectorized analogue of the CUDA
+    flag (see oracle.py for the argument); a whole-tile early exit fires
+    once every pixel saturates — the vectorized analogue of the CUDA
     block-vote `__syncthreads_count(done)` (forward.cu:318-321).
-  * the backward pass needs no atomics: each sorted (tile, Gaussian) pair
-    is owned by exactly one tile program, so per-pair gradients are
-    written disjointly and reduced to per-Gaussian gradients outside the
-    kernel by gathers + a segmented cumsum over a by-gaussian permutation
-    (XLA scatter-adds serialize on TPU; this path has none) — replacing
-    the CUDA block-reduce + atomicAdd pattern (backward.cu:759-784).
+  * the backward pass needs no atomics and no totals pre-pass: the
+    forward saves per-chunk entry log-transmittance (bounds), and the
+    grid runs in reverse accumulating the cross-chunk suffix term —
+    per-pair gradients are written disjointly and reduced to
+    per-Gaussian gradients outside the kernel by one row gather + a
+    segmented cumsum (XLA scatter-adds serialize on TPU; this path has
+    none), replacing the CUDA block-reduce + atomicAdd pattern
+    (backward.cu:759-784).
 
-The public entry `composite_from_fields` is a `jax.custom_vjp`; everything
-upstream (EWA preprocess, SE(3) pose chain, SH) and downstream (losses)
-is plain jnp and differentiates through it.
+The public entries `composite_csr` / `composite_csr_multi` are
+`jax.custom_vjp`s; everything upstream (EWA preprocess, SE(3) pose chain,
+SH) and downstream (losses) is plain jnp and differentiates through them.
+A one-chunk-per-program variant with scalar-prefetch-driven output block
+indices was 3x slower end-to-end (per-step pipeline overhead on tiny
+programs); keeping every BlockSpec index a static function of the
+program id is what lets Mosaic double-buffer all streams.
 """
 
 from __future__ import annotations
@@ -76,16 +81,51 @@ def _tri_incl(dtype=jnp.float32):
     return (r <= c).astype(dtype)
 
 
-def _chunk_quantities(pairs, c0, px, py):
-    """Shared forward recomputation for one lane-chunk of Gaussians.
-    All arrays are (npix, CHUNK)."""
-    sl = pl.ds(c0, CHUNK)
-    mx = pairs[0, F_MX, sl][None, :]
-    my = pairs[0, F_MY, sl][None, :]
-    ca = pairs[0, F_CA, sl][None, :]
-    cb = pairs[0, F_CB, sl][None, :]
-    cc = pairs[0, F_CC, sl][None, :]
-    op = pairs[0, F_OP, sl][None, :]
+# scratch accumulator columns: [r, g, b, depth, cum_log_T, la_applied, _, _]
+A_R, A_G, A_B, A_D, A_CUM, A_LA = 0, 1, 2, 3, 4, 5
+
+
+# ---------------------------------------------------------------------------
+# CSR chunk-grid compositor
+# ---------------------------------------------------------------------------
+#
+# A dense per-tile layout (one (FIELDS, K=tile_cap) block per tile) costs
+# ~3.5x more DMA and compute than the real pair count at production
+# shapes. Here the binner lays pairs out CHUNK-aligned per tile (TileBins
+# aligned_*/chunk_*) and the kernel processes the flat chunk list, SUBS
+# chunks per grid program:
+#   * every block index is a static function of the program id — no
+#     scalar-driven BlockSpec anywhere, so Mosaic double-buffers all
+#     streams perfectly (a one-chunk-per-program variant with the output
+#     image block chosen by a prefetched tile id ran 3x slower: per-step
+#     pipeline overhead dominates tiny programs),
+#   * programs write per-chunk PARTIAL sums (color/depth/applied-log-T);
+#     per-tile images are segment sums over each tile's contiguous chunk
+#     range (cumsum + two row gathers — no scatter). Only the
+#     transmittance state (cum log-T, done flag) crosses program
+#     boundaries, in VMEM scratch; chunk_first resets it per tile,
+#   * the backward pass runs the grid in reverse (static index G-1-j),
+#     accumulating the cross-chunk suffix term back-to-front in scratch;
+#     per-chunk output gradients arrive pre-gathered by chunk tile id so
+#     the kernel streams them like any other input.
+# The CUDA reference's per-tile ranges are the same CSR idea
+# (rasterizer_impl.cu identifyTileRanges), but its workload is
+# thread-per-pixel with atomics; here it is chunk-per-program with the
+# transmittance recurrence closed into triangular matmuls on the MXU.
+
+SUBS = 4  # chunks per grid program (amortizes per-step pipeline cost)
+
+
+def _csr_quantities(pairs_ref, s, px, py):
+    """Forward quantities for sub-chunk `s` of a (FIELDS, SUBS*CHUNK)
+    block. All arrays are (npix, CHUNK)."""
+    sl = pl.ds(s * CHUNK, CHUNK)
+    mx = pairs_ref[F_MX, sl][None, :]
+    my = pairs_ref[F_MY, sl][None, :]
+    ca = pairs_ref[F_CA, sl][None, :]
+    cb = pairs_ref[F_CB, sl][None, :]
+    cc = pairs_ref[F_CC, sl][None, :]
+    op = pairs_ref[F_OP, sl][None, :]
     dx = mx - px
     dy = my - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -100,35 +140,31 @@ def _chunk_quantities(pairs, c0, px, py):
     )
 
 
-# scratch accumulator columns: [r, g, b, depth, cum_valid, la_applied, _, _]
-A_R, A_G, A_B, A_D, A_CUM, A_LA = 0, 1, 2, 3, 4, 5
-
-
-def _fwd_kernel(count_ref, pairs_ref, out_ref, nt_ref, bounds_ref, acc_ref,
-                done_ref,
-                *, k: int, tx_n: int, tile: int, img_w: int, img_h: int,
-                tiles_per_view: int | None = None):
-    t = pl.program_id(0)
-    if tiles_per_view is not None:
-        t = t % tiles_per_view  # multi-view: programs tile V stacked views
+def _fwd_kernel_csr(ct_ref, cf_ref, pairs_ref, part_ref, nt_ref, bounds_ref,
+                    acc_ref, done_ref,
+                    *, tx_n: int, tile: int, img_w: int, img_h: int,
+                    tiles_per_view: int):
+    j = pl.program_id(0)
     npix = tile * tile
-    px, py = _pixel_coords(t, tx_n, tile)
-    inside = (px < img_w) & (py < img_h)
     tri = _tri_incl()
-    count = count_ref[pl.program_id(0)]
 
-    acc_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)
-    nt_ref[0, 0, :] = jnp.zeros((k,), jnp.float32)
-    # chunk-entry log-transmittance boundaries, saved for the single-pass
-    # backward; -1e30 marks never-executed chunks (exp -> 0 -> no grads)
-    bounds_ref[0, :, :] = jnp.full((k // CHUNK, npix), -1e30, jnp.float32)
-    done_ref[0] = 0
+    for s in range(SUBS):
+        cid = j * SUBS + s
+        t = ct_ref[cid] % tiles_per_view
+        px, py = _pixel_coords(t, tx_n, tile)
+        inside = (px < img_w) & (py < img_h)
 
-    for c in range(k // CHUNK):
-        @pl.when((c * CHUNK < count) & (done_ref[0] == 0))
-        def _chunk():
-            bounds_ref[0, c, :] = acc_ref[:, A_CUM]
-            q = _chunk_quantities(pairs_ref, c * CHUNK, px, py)
+        @pl.when(cf_ref[cid] == 1)
+        def _init():
+            acc_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)
+            done_ref[0] = 0
+
+        was_done = done_ref[0] == 1
+
+        @pl.when(~was_done)
+        def _compute():
+            bounds_ref[s, 0, :] = acc_ref[:, A_CUM]
+            q = _csr_quantities(pairs_ref, s, px, py)
             cum = acc_ref[:, A_CUM:A_CUM + 1] + jnp.dot(
                 q["la"], tri, preferred_element_type=jnp.float32
             )
@@ -137,203 +173,229 @@ def _fwd_kernel(count_ref, pairs_ref, out_ref, nt_ref, bounds_ref, acc_ref,
             t_before = jnp.exp(cum - q["la"])
             w = jnp.where(applied, q["alpha"] * t_before, 0.0)
 
-            for ch, f in enumerate((F_R, F_G, F_B)):
-                cch = pairs_ref[0, f, q["sl"]][None, :]
-                acc_ref[:, ch:ch + 1] += jnp.sum(w * cch, axis=1, keepdims=True)
-            dep = pairs_ref[0, F_DEPTH, q["sl"]][None, :]
-            acc_ref[:, A_D:A_D + 1] += jnp.sum(w * dep, axis=1, keepdims=True)
+            cols = [
+                jnp.sum(w * pairs_ref[f, q["sl"]][None, :], axis=1,
+                        keepdims=True)
+                for f in (F_R, F_G, F_B, F_DEPTH)
+            ]
+            la_app = jnp.sum(
+                jnp.where(applied, q["la"], 0.0), axis=1, keepdims=True
+            )
+            part_ref[s, :, :] = jnp.concatenate(
+                cols + [la_app, jnp.zeros((npix, 3), jnp.float32)], axis=1
+            )
 
             nt = jnp.sum(
                 (applied & (t_incl > 0.5) & inside).astype(jnp.float32),
                 axis=0, keepdims=True,
             )
-            nt_ref[0, 0, pl.ds(c * CHUNK, CHUNK)] = nt[0, :]
+            nt_ref[0, q["sl"]] = nt[0, :]
 
-            acc_ref[:, A_LA:A_LA + 1] += jnp.sum(
-                jnp.where(applied, q["la"], 0.0), axis=1, keepdims=True
-            )
             acc_ref[:, A_CUM:A_CUM + 1] = cum[:, CHUNK - 1:CHUNK]
-            # whole-tile early exit once every pixel is saturated
             done_ref[0] = jnp.where(
                 jnp.all(t_incl[:, CHUNK - 1] < T_EPS), 1, 0
             ).astype(jnp.int32)
 
-    acc = acc_ref[:, :]
-    t_final = jnp.exp(acc[:, A_LA:A_LA + 1])
-    out = jnp.concatenate(
-        [acc[:, 0:4], t_final, jnp.zeros((npix, 3), jnp.float32)], axis=1
-    )
-    out_ref[0, :, :] = out
+        @pl.when(was_done)
+        def _skip():
+            # saturated tile: later chunks contribute nothing; mark their
+            # bounds never-executed so the backward zeroes them
+            part_ref[s, :, :] = jnp.zeros((npix, 8), jnp.float32)
+            bounds_ref[s, 0, :] = jnp.full((npix,), -1e30, jnp.float32)
+            nt_ref[0, pl.ds(s * CHUNK, CHUNK)] = jnp.zeros((CHUNK,), jnp.float32)
 
 
-def _bwd_kernel(count_ref, pairs_ref, g_ref, bounds_ref, dpairs_ref, acc_ref,
-                *, k: int, tx_n: int, tile: int, img_w: int, img_h: int,
-                tiles_per_view: int | None = None):
-    """Single REVERSE pass over the chunks: the forward saved the
-    chunk-entry log-transmittance (bounds), so each chunk's in-chunk
-    prefix reconstructs locally and the cross-pair suffix term
-    sum_{j>i} w_j u_j accumulates back-to-front — no totals pre-pass
-    (the CUDA backward re-walks back-to-front the same way,
-    backward.cu:562-660, but needed atomics; here chunk suffixes are a
-    triangular matmul and the accumulator lives in VMEM)."""
-    t = pl.program_id(0)
-    count = count_ref[pl.program_id(0)]
-    if tiles_per_view is not None:
-        t = t % tiles_per_view
+def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
+                    dpairs_ref, acc_ref,
+                    *, tx_n: int, tile: int, img_w: int, img_h: int,
+                    tiles_per_view: int):
+    j = pl.program_id(0)   # block (G-1-j) via the static index maps
+    g = pl.num_programs(0)
     npix = tile * tile
-    px, py = _pixel_coords(t, tx_n, tile)
     tri = _tri_incl()
 
-    g_c = g_ref[0, :, 0:NCH]            # (npix, 3)
-    g_d = g_ref[0, :, NCH:NCH + 1]      # (npix, 1)
-    g_tf = g_ref[0, :, NCH + 1:NCH + 2]
-    t_final = g_ref[0, :, NCH + 2:NCH + 3]  # saved forward output
+    for s in reversed(range(SUBS)):
+        cid = (g - 1 - j) * SUBS + s
+        t = ct_ref[cid] % tiles_per_view
+        px, py = _pixel_coords(t, tx_n, tile)
 
-    dpairs_ref[0, :, :] = jnp.zeros((NUM_FIELDS, k), jnp.float32)
-    acc_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)  # col 0: suffix_acc
+        @pl.when(cl_ref[cid] == 1)   # last chunk of its tile = first visited
+        def _init():
+            acc_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)
 
-    def payload(q):
-        """u_i = sum_ch g_ch * c_ch,i + g_d * depth_i. All four output
-        channels share one suffix chain: sum_ch g_ch*S_ch + g_d*S_d =
-        suffix(w*u), so the backward needs ONE cumsum matmul per chunk
-        instead of four."""
-        u = g_d * pairs_ref[0, F_DEPTH, q["sl"]][None, :]
+        g_c = gchunk_ref[s, :, 0:NCH]
+        g_d = gchunk_ref[s, :, NCH:NCH + 1]
+        g_tf = gchunk_ref[s, :, NCH + 1:NCH + 2]
+        t_final = gchunk_ref[s, :, NCH + 2:NCH + 3]
+
+        q = _csr_quantities(pairs_ref, s, px, py)
+        la = q["la"]
+        cum = bounds_ref[s, 0, :][:, None] + jnp.dot(
+            la, tri, preferred_element_type=jnp.float32
+        )
+        t_incl = jnp.exp(cum)
+        applied = q["valid"] & (t_incl >= T_EPS)
+        t_before = jnp.exp(cum - la)
+        w = jnp.where(applied, q["alpha"] * t_before, 0.0)
+        inv_1ma = 1.0 / jnp.maximum(1.0 - q["alpha"], 1e-6)
+
+        u = g_d * pairs_ref[F_DEPTH, q["sl"]][None, :]
         for ch, f in enumerate((F_R, F_G, F_B)):
-            u = u + g_c[:, ch:ch + 1] * pairs_ref[0, f, q["sl"]][None, :]
-        return u
+            u = u + g_c[:, ch:ch + 1] * pairs_ref[f, q["sl"]][None, :]
 
-    for c in reversed(range(k // CHUNK)):
-        @pl.when(c * CHUNK < count)
-        def _chunk():
-            q = _chunk_quantities(pairs_ref, c * CHUNK, px, py)
-            la = q["la"]
-            cum = bounds_ref[0, c, :][:, None] + jnp.dot(
-                la, tri, preferred_element_type=jnp.float32
-            )
-            t_incl = jnp.exp(cum)
-            applied = q["valid"] & (t_incl >= T_EPS)
-            t_before = jnp.exp(cum - la)
-            w = jnp.where(applied, q["alpha"] * t_before, 0.0)
+        wu = w * u
+        incl = jnp.dot(wu, tri, preferred_element_type=jnp.float32)
+        chunk_tot = incl[:, CHUNK - 1:CHUNK]
+        suffix_u = (chunk_tot - incl) + acc_ref[:, 0:1]
+        dalpha = (
+            u * t_before
+            - suffix_u * inv_1ma
+            - g_tf * t_final * inv_1ma
+        )
+        acc_ref[:, 0:1] += chunk_tot
 
-            inv_1ma = 1.0 / jnp.maximum(1.0 - q["alpha"], 1e-6)
+        unclamped = (q["raw"] < ALPHA_MAX).astype(jnp.float32)
+        dalpha = jnp.where(applied, dalpha, 0.0) * unclamped
+        dpower = q["raw"] * dalpha
+        dop_pp = q["g"] * dalpha
 
-            u = payload(q)
-            wu = w * u
-            incl = jnp.dot(wu, tri, preferred_element_type=jnp.float32)
-            chunk_tot = incl[:, CHUNK - 1:CHUNK]
-            # sum_{j>i} wu_j = (in-chunk strict suffix) + later-chunk acc
-            suffix_u = (chunk_tot - incl) + acc_ref[:, 0:1]
-            dalpha = (
-                u * t_before
-                - suffix_u * inv_1ma
-                - g_tf * t_final * inv_1ma
-            )
-            acc_ref[:, 0:1] += chunk_tot
-
-            unclamped = (q["raw"] < ALPHA_MAX).astype(jnp.float32)
-            dalpha = jnp.where(applied, dalpha, 0.0) * unclamped
-            dpower = q["raw"] * dalpha          # d alpha / d power = op * G
-            dop_pp = q["g"] * dalpha            # d alpha / d op = G
-
-            dx, dy, ca, cb, cc = q["dx"], q["dy"], q["ca"], q["cb"], q["cc"]
-            sl = q["sl"]
-            dpairs_ref[0, F_OP, sl] = jnp.sum(dop_pp, axis=0, keepdims=True)[0, :]
-            dpairs_ref[0, F_CA, sl] = jnp.sum(-0.5 * dx * dx * dpower, axis=0, keepdims=True)[0, :]
-            dpairs_ref[0, F_CB, sl] = jnp.sum(-dx * dy * dpower, axis=0, keepdims=True)[0, :]
-            dpairs_ref[0, F_CC, sl] = jnp.sum(-0.5 * dy * dy * dpower, axis=0, keepdims=True)[0, :]
-            dpairs_ref[0, F_MX, sl] = jnp.sum(-(ca * dx + cb * dy) * dpower, axis=0, keepdims=True)[0, :]
-            dpairs_ref[0, F_MY, sl] = jnp.sum(-(cc * dy + cb * dx) * dpower, axis=0, keepdims=True)[0, :]
-            dpairs_ref[0, F_R, sl] = jnp.sum(g_c[:, 0:1] * w, axis=0, keepdims=True)[0, :]
-            dpairs_ref[0, F_G, sl] = jnp.sum(g_c[:, 1:2] * w, axis=0, keepdims=True)[0, :]
-            dpairs_ref[0, F_B, sl] = jnp.sum(g_c[:, 2:3] * w, axis=0, keepdims=True)[0, :]
-            dpairs_ref[0, F_DEPTH, sl] = jnp.sum(g_d * w, axis=0, keepdims=True)[0, :]
+        dx, dy, ca, cb, cc = q["dx"], q["dy"], q["ca"], q["cb"], q["cc"]
+        sl = q["sl"]
+        dpairs_ref[F_OP, sl] = jnp.sum(dop_pp, axis=0)
+        dpairs_ref[F_CA, sl] = jnp.sum(-0.5 * dx * dx * dpower, axis=0)
+        dpairs_ref[F_CB, sl] = jnp.sum(-dx * dy * dpower, axis=0)
+        dpairs_ref[F_CC, sl] = jnp.sum(-0.5 * dy * dy * dpower, axis=0)
+        dpairs_ref[F_MX, sl] = jnp.sum(-(ca * dx + cb * dy) * dpower, axis=0)
+        dpairs_ref[F_MY, sl] = jnp.sum(-(cc * dy + cb * dx) * dpower, axis=0)
+        dpairs_ref[F_R, sl] = jnp.sum(g_c[:, 0:1] * w, axis=0)
+        dpairs_ref[F_G, sl] = jnp.sum(g_c[:, 1:2] * w, axis=0)
+        dpairs_ref[F_B, sl] = jnp.sum(g_c[:, 2:3] * w, axis=0)
+        dpairs_ref[F_DEPTH, sl] = jnp.sum(g_d * w, axis=0)
 
 
-def _composite_fwd_impl(pairs, tile_count, *, tx_n, ty_n, tile, img_w, img_h,
-                        tiles_per_view=None):
-    num_tiles, _, k = pairs.shape
+def _csr_fwd_impl(pairs, chunk_tile, chunk_first,
+                  *, tx_n, ty_n, tile, img_w, img_h, tiles_per_view):
+    """pairs (FIELDS, P) CHUNK-aligned -> per-chunk partials (c_max, npix,
+    8), per-slot nt (P,), per-chunk entry bounds (c_max, npix)."""
+    p = pairs.shape[1]
+    c_max = p // CHUNK
     npix = tile * tile
     kern = functools.partial(
-        _fwd_kernel, k=k, tx_n=tx_n, tile=tile, img_w=img_w, img_h=img_h,
+        _fwd_kernel_csr, tx_n=tx_n, tile=tile, img_w=img_w, img_h=img_h,
         tiles_per_view=tiles_per_view,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_tiles,),
+        num_scalar_prefetch=2,
+        grid=(c_max // SUBS,),
         in_specs=[
-            pl.BlockSpec((1, NUM_FIELDS, k), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((NUM_FIELDS, SUBS * CHUNK), lambda j, ct, cf: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, npix, 8), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, k), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, k // CHUNK, npix), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((SUBS, npix, 8), lambda j, ct, cf: (j, 0, 0)),
+            pl.BlockSpec((1, SUBS * CHUNK), lambda j, ct, cf: (0, j)),
+            pl.BlockSpec((SUBS, 1, npix), lambda j, ct, cf: (j, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((npix, 8), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
-    out, nt, bounds = pl.pallas_call(
+    part, nt, bounds = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, npix, 8), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, k), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, k // CHUNK, npix), jnp.float32),
+            jax.ShapeDtypeStruct((c_max, npix, 8), jnp.float32),
+            jax.ShapeDtypeStruct((1, p), jnp.float32),
+            jax.ShapeDtypeStruct((c_max, 1, npix), jnp.float32),
         ],
         interpret=_interpret(),
-    )(tile_count, pairs)
-    color = out[:, :, 0:NCH]
-    depth = out[:, :, NCH]
-    t_final = out[:, :, NCH + 1]
-    return color, depth, t_final, nt[:, 0, :], bounds
+    )(chunk_tile, chunk_first, pairs)
+    return part, nt.reshape(-1), bounds
 
 
-def _pairs_from_fields(fields_geo, fields_app, pair_gid, tile_start, tile_count, k):
-    """Two-hop gather tuned for TPU gather throughput:
-      1. fields (N+1, F) rows -> sorted-pair order (P, F): one row gather
-         from a small (VMEM-resident) source,
-      2. dense (num_tiles, K, F) blocks via vmapped dynamic_slice over the
-         contiguous per-tile ranges — 1200 block copies at bandwidth
-         speed instead of a 1.2M-element gather."""
-    num_tiles = tile_start.shape[0]
-    fields_rows = jnp.concatenate([fields_geo, fields_app], axis=1)
-    fields_sorted = fields_rows[pair_gid]                    # (P, F)
-    fields_sorted = jnp.pad(fields_sorted, ((0, k), (0, 0)))  # slice overrun pad
-
-    def per_tile(start):
-        return jax.lax.dynamic_slice(
-            fields_sorted, (start, 0), (k, NUM_FIELDS)
-        )
-
-    dense = jax.vmap(per_tile)(tile_start)                   # (T, K, F)
-    kr = jnp.arange(k, dtype=jnp.int32)
-    mask = (kr[None, :] < tile_count[:, None]).astype(dense.dtype)
-    dense = dense * mask[:, :, None]
-    return dense.transpose(0, 2, 1)                          # (T, F, K)
+def _csr_finalize(part, chunk_start, n_chunks, npix):
+    """Per-tile images from per-chunk partials: contiguous chunk segments
+    -> cumsum + boundary gathers (no scatter)."""
+    csum = jnp.cumsum(part, axis=0)
+    z = jnp.concatenate([jnp.zeros((1, npix, 8), part.dtype), csum], axis=0)
+    c_max = part.shape[0]
+    starts = jnp.minimum(chunk_start, c_max)
+    ends = jnp.minimum(chunk_start + n_chunks, c_max)
+    tot = z[ends] - z[starts]                       # (VT, npix, 8)
+    color = tot[:, :, 0:NCH]
+    depth = tot[:, :, NCH]
+    t_final = jnp.exp(tot[:, :, NCH + 1])           # empty tile -> exp(0)=1
+    return color, depth, t_final
 
 
-def reduce_pairs_by_gaussian(
-    values_rows: jax.Array,   # (num_tiles * K, F) dense per-pair values (rows)
-    pair_tile: jax.Array,     # (P,) tile id per sorted pair
-    tile_start: jax.Array,    # (num_tiles,)
-    bygid_perm: jax.Array,    # (P,) sorted-pair positions grouped by gid
-    gid_start: jax.Array,     # (N+1,) first by-gid position per gaussian
-    gid_count: jax.Array,     # (N+1,) pairs per gaussian
-    num_tiles: int,
-    k: int,
+def _csr_bwd_impl(pairs, bounds, t_final_rows, chunk_tile, chunk_last,
+                  g_color, g_depth, g_tf,
+                  *, tx_n, ty_n, tile, img_w, img_h, tiles_per_view):
+    """dpairs (FIELDS, P) from per-tile output gradients (VT, npix[, C])."""
+    p = pairs.shape[1]
+    c_max = p // CHUNK
+    npix = tile * tile
+    vt = g_color.shape[0]
+    grows = jnp.concatenate(
+        [
+            g_color,
+            g_depth[:, :, None],
+            g_tf[:, :, None],
+            t_final_rows[:, :, None],
+            jnp.zeros((vt, npix, 2), jnp.float32),
+        ],
+        axis=2,
+    )
+    grows = jnp.pad(grows, ((0, 1), (0, 0), (0, 0)))  # dummy row: sentinels
+    # per-chunk gradient rows (row gather; lets the kernel stream them
+    # through a statically-indexed BlockSpec instead of a scalar-driven
+    # per-tile block)
+    gchunk = grows[jnp.minimum(chunk_tile, vt)]       # (c_max, npix, 8)
+    kern = functools.partial(
+        _bwd_kernel_csr, tx_n=tx_n, tile=tile, img_w=img_w, img_h=img_h,
+        tiles_per_view=tiles_per_view,
+    )
+    g = c_max // SUBS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (NUM_FIELDS, SUBS * CHUNK), lambda j, ct, cl: (0, g - 1 - j)
+            ),
+            pl.BlockSpec((SUBS, npix, 8), lambda j, ct, cl: (g - 1 - j, 0, 0)),
+            pl.BlockSpec((SUBS, 1, npix), lambda j, ct, cl: (g - 1 - j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (NUM_FIELDS, SUBS * CHUNK), lambda j, ct, cl: (0, g - 1 - j)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((npix, 8), jnp.float32),
+        ],
+    )
+    dpairs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NUM_FIELDS, p), jnp.float32),
+        interpret=_interpret(),
+    )(chunk_tile, chunk_last, pairs, gchunk, bounds)
+    return dpairs
+
+
+def reduce_aligned_by_gaussian(
+    values_rows: jax.Array,     # (P, F) per-ALIGNED-slot values
+    bygid_aligned: jax.Array,   # (P,) aligned slot per by-gid pair (-1 pad)
+    gid_start: jax.Array,       # (N+1,)
+    gid_count: jax.Array,       # (N+1,)
 ) -> jax.Array:
-    """Sum dense per-pair values per gaussian with gathers + a segmented
-    cumsum (no scatter). Returns (N+1, F)."""
-    max_pairs = pair_tile.shape[0]
-    sp = jnp.arange(max_pairs, dtype=jnp.int32)
-    t_sp = pair_tile
-    k_sp = sp - tile_start[jnp.minimum(t_sp, num_tiles - 1)]
-    valid_sp = (t_sp < num_tiles) & (k_sp >= 0) & (k_sp < k)
-    flat = jnp.where(valid_sp, t_sp * k + k_sp, 0)
-    combined = jnp.where(valid_sp, flat, -1)[bygid_perm]  # by-gid order
-    safe = jnp.maximum(combined, 0)
-    vals = values_rows[safe] * (combined >= 0).astype(values_rows.dtype)[:, None]
+    """Per-gaussian sums of per-aligned-slot values: ONE row gather
+    through the binner's precomputed by-gid -> aligned map, a cumsum, and
+    boundary gathers (no scatter). Returns (N+1, F)."""
+    max_pairs = bygid_aligned.shape[0]
+    safe = jnp.maximum(bygid_aligned, 0)
+    vals = values_rows[safe] * (
+        bygid_aligned >= 0
+    ).astype(values_rows.dtype)[:, None]
     csum = jnp.cumsum(vals, axis=0)
     z = jnp.concatenate(
         [jnp.zeros((1, values_rows.shape[1]), values_rows.dtype), csum], axis=0
@@ -343,237 +405,178 @@ def reduce_pairs_by_gaussian(
     return z[ends] - z[starts]
 
 
-def _cff_impl(fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
-              bygid_perm, gid_start, gid_count,
-              tx_n, ty_n, tile, img_w, img_h, k):
-    pairs = _pairs_from_fields(fields_geo, fields_app, pair_gid, tile_start, tile_count, k)
-    return _composite_fwd_impl(
-        pairs, tile_count, tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h
-    )[:4]
+def _csr_gather_pairs(fields_geo, fields_app, aligned_gid):
+    """fields rows (N+1, 6)+(N+1, 4) -> CHUNK-aligned (FIELDS, P) pair
+    buffer (single row gather from the VMEM-resident field table)."""
+    rows = jnp.concatenate([fields_geo, fields_app], axis=1)  # (N+1, F)
+    return rows[aligned_gid].T                                # (F, P)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
-def composite_from_fields(
-    fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
-    bygid_perm, gid_start, gid_count,
-    tx_n, ty_n, tile, img_w, img_h, k,
+def _chunk_ranges(tile_count):
+    n_chunks = -(-tile_count // CHUNK)
+    chunk_start = (jnp.cumsum(n_chunks) - n_chunks).astype(jnp.int32)
+    return chunk_start, n_chunks.astype(jnp.int32)
+
+
+def _ccsr_impl(fields_geo, fields_app, bins_csr, tx_n, ty_n, tile,
+               img_w, img_h):
+    (aligned_gid, chunk_tile, chunk_first, tile_count) = bins_csr
+    pairs = _csr_gather_pairs(fields_geo, fields_app, aligned_gid)
+    part, nt, bounds = _csr_fwd_impl(
+        pairs, chunk_tile, chunk_first,
+        tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h,
+        tiles_per_view=tx_n * ty_n,
+    )
+    npix = tile * tile
+    chunk_start, n_chunks = _chunk_ranges(tile_count)
+    color, depth, t_final = _csr_finalize(part, chunk_start, n_chunks, npix)
+    return (color, depth, t_final, nt), (pairs, bounds, t_final)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def composite_csr(
+    fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first, chunk_last,
+    tile_count, tile_start, aligned_start, pt_bygid,
+    tx_n, ty_n, tile, img_w, img_h,
 ):
-    """fields_geo (N+1, 6) [mx,my,ca,cb,cc,depth] + fields_app (N+1, 4)
-    [op,r,g,b] + binning index arrays ->
-    (color (T,npix,3), depth (T,npix), T_final (T,npix), n_touched (T,K))."""
-    return _cff_impl(
-        fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
-        bygid_perm, gid_start, gid_count,
-        tx_n, ty_n, tile, img_w, img_h, k,
-    )
-
-
-def _cff_fwd(fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
-             bygid_perm, gid_start, gid_count,
-             tx_n, ty_n, tile, img_w, img_h, k):
-    # save the dense pair blocks as the residual (T*K*10 f32, ~25 MB at
-    # production shapes) so the backward pass skips rebuilding them; the
-    # chunk-entry transmittance boundaries + t_final let the backward run
-    # a SINGLE reverse pass (no totals pre-pass)
-    pairs = _pairs_from_fields(fields_geo, fields_app, pair_gid, tile_start,
-                               tile_count, k)
-    color, depth, t_final, nt, bounds = _composite_fwd_impl(
-        pairs, tile_count, tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w,
-        img_h=img_h,
-    )
-    res = (pairs, bounds, t_final, tile_count, pair_tile, tile_start,
-           bygid_perm, gid_start, gid_count)
-    return (color, depth, t_final, nt), res
-
-
-def _cff_bwd(tx_n, ty_n, tile, img_w, img_h, k, res, g):
-    (pairs, bounds, t_final, tile_count, pair_tile, tile_start,
-     bygid_perm, gid_start, gid_count) = res
-    g_color, g_depth, g_tf, _g_nt = g
-    num_tiles = tile_start.shape[0]
-    npix = tile * tile
-    gbuf = jnp.concatenate(
-        [
-            g_color,
-            g_depth[:, :, None],
-            g_tf[:, :, None],
-            t_final[:, :, None],
-            jnp.zeros((num_tiles, npix, 2), jnp.float32),
-        ],
-        axis=2,
-    )
-    kern = functools.partial(
-        _bwd_kernel, k=k, tx_n=tx_n, tile=tile, img_w=img_w, img_h=img_h
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, NUM_FIELDS, k), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, npix, 8), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, k // CHUNK, npix), lambda i, c: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, NUM_FIELDS, k), lambda i, c: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((npix, 8), jnp.float32),
-        ],
-    )
-    dpairs = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, NUM_FIELDS, k), jnp.float32),
-        interpret=_interpret(),
-    )(tile_count, pairs, gbuf, bounds)
-
-    drows = dpairs.transpose(0, 2, 1).reshape(num_tiles * k, NUM_FIELDS)
-    # independent reductions per field group: pose-only consumers
-    # (tracking) never read g_app, so XLA DCEs its gather — ~40% of the
-    # backward reduction traffic
-    g_geo = reduce_pairs_by_gaussian(
-        drows[:, :NUM_GEO], pair_tile, tile_start, bygid_perm,
-        gid_start, gid_count, num_tiles, k,
-    )
-    g_app = reduce_pairs_by_gaussian(
-        drows[:, NUM_GEO:], pair_tile, tile_start, bygid_perm,
-        gid_start, gid_count, num_tiles, k,
-    )
-    return (g_geo, g_app, None, None, None, None, None, None, None)
-
-
-composite_from_fields.defvjp(_cff_fwd, _cff_bwd)
-
-
-# ---------------------------------------------------------------------------
-# Multi-view batched compositor: V views stacked into one kernel grid
-# ---------------------------------------------------------------------------
-
-
-def _multi_bwd_impl(pairs, bounds, t_final, tile_count, pair_tile, tile_start,
-                    bygid_perm, gid_start, gid_count, g_color, g_depth, g_tf,
-                    tx_n, ty_n, tile, img_w, img_h, k):
-    """Shared backward body for the batched compositor. Leading dims:
-    pairs (VT, F, K); per-view index arrays (V, ...)."""
-    vt = pairs.shape[0]
-    v = tile_start.shape[0]
-    tiles_per_view = vt // v
-    npix = tile * tile
-    gbuf = jnp.concatenate(
-        [
-            g_color,
-            g_depth[:, :, None],
-            g_tf[:, :, None],
-            t_final[:, :, None],
-            jnp.zeros((vt, npix, 2), jnp.float32),
-        ],
-        axis=2,
-    )
-    kern = functools.partial(
-        _bwd_kernel, k=k, tx_n=tx_n, tile=tile, img_w=img_w, img_h=img_h,
-        tiles_per_view=tiles_per_view,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(vt,),
-        in_specs=[
-            pl.BlockSpec((1, NUM_FIELDS, k), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, npix, 8), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, k // CHUNK, npix), lambda i, c: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, NUM_FIELDS, k), lambda i, c: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((npix, 8), jnp.float32),
-        ],
-    )
-    dpairs = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((vt, NUM_FIELDS, k), jnp.float32),
-        interpret=_interpret(),
-    )(tile_count.reshape(-1), pairs, gbuf, bounds)
-
-    drows = dpairs.transpose(0, 2, 1).reshape(v, tiles_per_view * k, NUM_FIELDS)
-
-    def reduce_view(rows, p_tile, t_start, perm, g_start, g_count):
-        g_geo = reduce_pairs_by_gaussian(
-            rows[:, :NUM_GEO], p_tile, t_start, perm, g_start, g_count,
-            tiles_per_view, k,
-        )
-        g_app = reduce_pairs_by_gaussian(
-            rows[:, NUM_GEO:], p_tile, t_start, perm, g_start, g_count,
-            tiles_per_view, k,
-        )
-        return g_geo, g_app
-
-    g_geo, g_app = jax.vmap(reduce_view)(
-        drows, pair_tile, tile_start, bygid_perm, gid_start, gid_count
-    )
-    return g_geo, g_app
-
-
-def _cffm_impl(fields_geo, fields_app, pair_gid, tile_count, pair_tile,
-               tile_start, bygid_perm, gid_start, gid_count,
-               tx_n, ty_n, tile, img_w, img_h, k):
-    tiles_per_view = tx_n * ty_n
-    dense = jax.vmap(
-        lambda fg, fa, pg, ts, tc: _pairs_from_fields(fg, fa, pg, ts, tc, k)
-    )(fields_geo, fields_app, pair_gid, tile_start, tile_count)  # (V, T, F, K)
-    v = dense.shape[0]
-    pairs = dense.reshape(v * tiles_per_view, NUM_FIELDS, k)
-    color, depth, t_final, nt, bounds = _composite_fwd_impl(
-        pairs, tile_count.reshape(-1), tx_n=tx_n, ty_n=ty_n, tile=tile,
-        img_w=img_w, img_h=img_h, tiles_per_view=tiles_per_view,
-    )
-    npix = tile * tile
-    shape_v = lambda a: a.reshape((v, tiles_per_view) + a.shape[1:])
-    return (shape_v(color), shape_v(depth), shape_v(t_final), shape_v(nt)), (
-        pairs, bounds, t_final,
-    )
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
-def composite_from_fields_multi(
-    fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
-    bygid_perm, gid_start, gid_count,
-    tx_n, ty_n, tile, img_w, img_h, k,
-):
-    """Batched compositor: V views in ONE kernel launch (grid = V * tiles).
-    fields_geo (V, N+1, 6), fields_app (V, N+1, 4), index arrays (V, ...)
-    -> per-view (V, T, npix[, C]) outputs. Used by the mapping backend to
-    render the whole keyframe window per iteration without per-view
-    dispatch."""
-    return _cffm_impl(
-        fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
-        bygid_perm, gid_start, gid_count,
-        tx_n, ty_n, tile, img_w, img_h, k,
+    """CSR chunk-grid compositor. fields (N+1, 6)/(N+1, 4) + TileBins CSR
+    arrays -> (color (T, npix, 3), depth (T, npix), T_final (T, npix),
+    n_touched (P,) per aligned slot). `pt_bygid` packs
+    (bygid_aligned, gid_start, gid_count) for the backward
+    reduction."""
+    return _ccsr_impl(
+        fields_geo, fields_app,
+        (aligned_gid, chunk_tile, chunk_first, tile_count),
+        tx_n, ty_n, tile, img_w, img_h,
     )[0]
 
 
-def _cffm_fwd(fields_geo, fields_app, pair_gid, tile_count, pair_tile,
-              tile_start, bygid_perm, gid_start, gid_count,
-              tx_n, ty_n, tile, img_w, img_h, k):
-    outs, (pairs, bounds, t_final_flat) = _cffm_impl(
-        fields_geo, fields_app, pair_gid, tile_count, pair_tile, tile_start,
-        bygid_perm, gid_start, gid_count,
-        tx_n, ty_n, tile, img_w, img_h, k,
+def _ccsr_fwd(fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first,
+              chunk_last, tile_count, tile_start, aligned_start, pt_bygid,
+              tx_n, ty_n, tile, img_w, img_h):
+    outs, (pairs, bounds, t_final) = _ccsr_impl(
+        fields_geo, fields_app,
+        (aligned_gid, chunk_tile, chunk_first, tile_count),
+        tx_n, ty_n, tile, img_w, img_h,
     )
-    res = (pairs, bounds, t_final_flat, tile_count, pair_tile, tile_start,
-           bygid_perm, gid_start, gid_count)
+    res = (pairs, bounds, t_final, chunk_tile, chunk_last,
+           tile_start, aligned_start, pt_bygid)
     return outs, res
 
 
-def _cffm_bwd(tx_n, ty_n, tile, img_w, img_h, k, res, g):
-    (pairs, bounds, t_final_flat, tile_count, pair_tile, tile_start,
-     bygid_perm, gid_start, gid_count) = res
+def _ccsr_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
+    (pairs, bounds, t_final, chunk_tile, chunk_last,
+     tile_start, aligned_start, pt_bygid) = res
+    bygid_aligned, gid_start, gid_count = pt_bygid
     g_color, g_depth, g_tf, _g_nt = g
-    vt = pairs.shape[0]
-    flat = lambda a: a.reshape((vt,) + a.shape[2:])
-    g_geo, g_app = _multi_bwd_impl(
-        pairs, bounds, t_final_flat, tile_count, pair_tile, tile_start,
-        bygid_perm, gid_start, gid_count,
-        flat(g_color), flat(g_depth), flat(g_tf),
-        tx_n, ty_n, tile, img_w, img_h, k,
+    dpairs = _csr_bwd_impl(
+        pairs, bounds, t_final, chunk_tile, chunk_last,
+        g_color, g_depth, g_tf,
+        tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h,
+        tiles_per_view=tx_n * ty_n,
     )
-    return (g_geo, g_app, None, None, None, None, None, None, None)
+    drows = dpairs.T   # (P, FIELDS)
+    g_geo = reduce_aligned_by_gaussian(
+        drows[:, :NUM_GEO], bygid_aligned, gid_start, gid_count,
+    )
+    g_app = reduce_aligned_by_gaussian(
+        drows[:, NUM_GEO:], bygid_aligned, gid_start, gid_count,
+    )
+    return (g_geo, g_app, None, None, None, None, None, None, None, None)
 
 
-composite_from_fields_multi.defvjp(_cffm_fwd, _cffm_bwd)
+composite_csr.defvjp(_ccsr_fwd, _ccsr_bwd)
+
+
+def _ccsrm_impl(fields_geo, fields_app, bins_csr, tx_n, ty_n, tile,
+                img_w, img_h):
+    """Multi-view CSR: per-view chunk lists concatenated into ONE kernel
+    grid (global tile ids = v*T + t; per-view sentinels -> global dummy
+    row V*T)."""
+    (aligned_gid, chunk_tile, chunk_first, tile_count) = bins_csr
+    v, np1 = fields_geo.shape[0], fields_geo.shape[1]
+    t_per_view = tile_count.shape[1]
+    rows = jnp.concatenate([fields_geo, fields_app], axis=-1).reshape(
+        v * np1, NUM_FIELDS
+    )
+    voff = jnp.arange(v, dtype=jnp.int32)[:, None]
+    gid_g = (aligned_gid + voff * np1).reshape(-1)
+    pairs = rows[gid_g].T                                    # (F, V*P)
+    ct_g = jnp.where(
+        chunk_tile < t_per_view, chunk_tile + voff * t_per_view,
+        v * t_per_view,
+    ).reshape(-1)
+    part, nt, bounds = _csr_fwd_impl(
+        pairs, ct_g, chunk_first.reshape(-1),
+        tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h,
+        tiles_per_view=t_per_view,
+    )
+    npix = tile * tile
+    c_max_v = chunk_tile.shape[1]
+    chunk_start, n_chunks = jax.vmap(_chunk_ranges)(tile_count)
+    chunk_start = (chunk_start + voff * c_max_v).reshape(-1)
+    color, depth, t_final = _csr_finalize(
+        part, chunk_start, n_chunks.reshape(-1), npix
+    )
+    shape_v = lambda a: a.reshape((v, t_per_view) + a.shape[1:])
+    return (
+        (shape_v(color), shape_v(depth), shape_v(t_final), nt.reshape(v, -1)),
+        (pairs, bounds, t_final, ct_g),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def composite_csr_multi(
+    fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first, chunk_last,
+    tile_count, tile_start, aligned_start, pt_bygid,
+    tx_n, ty_n, tile, img_w, img_h,
+):
+    """Batched CSR compositor: leading V axis on every array; one kernel
+    launch whose grid is the concatenation of all views' chunk lists.
+    Returns per-view (V, T, npix[, C]) outputs + (V, P) aligned-slot
+    n_touched."""
+    return _ccsrm_impl(
+        fields_geo, fields_app,
+        (aligned_gid, chunk_tile, chunk_first, tile_count),
+        tx_n, ty_n, tile, img_w, img_h,
+    )[0]
+
+
+def _ccsrm_fwd(fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first,
+               chunk_last, tile_count, tile_start, aligned_start, pt_bygid,
+               tx_n, ty_n, tile, img_w, img_h):
+    outs, (pairs, bounds, t_final, ct_g) = _ccsrm_impl(
+        fields_geo, fields_app,
+        (aligned_gid, chunk_tile, chunk_first, tile_count),
+        tx_n, ty_n, tile, img_w, img_h,
+    )
+    res = (pairs, bounds, t_final, ct_g, chunk_last,
+           tile_start, aligned_start, pt_bygid)
+    return outs, res
+
+
+def _ccsrm_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
+    (pairs, bounds, t_final, ct_g, chunk_last,
+     tile_start, aligned_start, pt_bygid) = res
+    bygid_aligned, gid_start, gid_count = pt_bygid
+    g_color, g_depth, g_tf, _g_nt = g
+    v, t_per_view = g_color.shape[0], g_color.shape[1]
+    flat = lambda a: a.reshape((v * t_per_view,) + a.shape[2:])
+    dpairs = _csr_bwd_impl(
+        pairs, bounds, t_final, ct_g, chunk_last.reshape(-1),
+        flat(g_color), flat(g_depth), flat(g_tf),
+        tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h,
+        tiles_per_view=t_per_view,
+    )
+    p = bygid_aligned.shape[1]
+    drows = dpairs.T.reshape(v, p, NUM_FIELDS)
+    g_geo, g_app = jax.vmap(
+        lambda rows, ba, gs, gc: (
+            reduce_aligned_by_gaussian(rows[:, :NUM_GEO], ba, gs, gc),
+            reduce_aligned_by_gaussian(rows[:, NUM_GEO:], ba, gs, gc),
+        )
+    )(drows, bygid_aligned, gid_start, gid_count)
+    return (g_geo, g_app, None, None, None, None, None, None, None, None)
+
+
+composite_csr_multi.defvjp(_ccsrm_fwd, _ccsrm_bwd)

@@ -737,7 +737,10 @@ class SLAM:
         if self.config.get("Results", {}).get("use_gui", False) and self.save_dir:
             from fourdgs.gui.viewer import LiveViewer
 
-            viewer = LiveViewer(self.save_dir, interval=self.save_interval)
+            viewer = LiveViewer(
+                self.save_dir, interval=self.save_interval,
+                serve_port=self.config["Results"].get("gui_port"),
+            )
         t0 = time.time()
         t_warm = t0
         prefetcher = FramePrefetcher(
@@ -765,6 +768,9 @@ class SLAM:
             self.median_depth = float(res.median_depth)
             if viewer is not None:
                 viewer.maybe_update(self, idx)
+                # GUI pause control (reference Packet_vis2main flag_pause,
+                # slam_gui.py:565-585): block between frames while paused
+                viewer.wait_if_paused()
 
             check_time = (idx - last_kf) >= self.kf_interval
             if not check_time:

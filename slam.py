@@ -79,7 +79,11 @@ def main(argv=None):
         before = slam.eval_rendering("before_opt", interval=args.interval)
         Log(f"before_opt: {before}", tag="Eval")
         slam.save("final_before_opt")
-        slam.color_refinement()
+        slam.color_refinement(
+            iterations=int(
+                config["Training"].get("refinement_iters", 1500)
+            )
+        )
         after = slam.eval_rendering("after_opt", interval=args.interval)
         Log(f"after_opt: {after}", tag="Eval")
         metrics.update(

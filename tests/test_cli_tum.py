@@ -24,7 +24,7 @@ def test_slam_cli_tum_dynamic(tmp_path, monkeypatch):
     from fourdgs.data.synthetic import SyntheticDataset, write_tum_format
     from fourdgs.utils.config import ConfigDict
 
-    w, h, n = 80, 60, 12
+    w, h, n = 64, 48, 10
     syn_cfg = ConfigDict.wrap(
         {
             "Dataset": {
@@ -62,10 +62,10 @@ def test_slam_cli_tum_dynamic(tmp_path, monkeypatch):
             },
         },
         "Training": {
-            "init_itr_num": 40, "init_gaussian_update": 30,
+            "init_itr_num": 30, "init_gaussian_update": 40,
             "init_gaussian_reset": 2000, "init_gaussian_th": 0.005,
-            "init_gaussian_extent": 30, "tracking_itr_num": 30,
-            "mapping_itr_num": 15, "keyframe_mapping_iters": 15,
+            "init_gaussian_extent": 30, "tracking_itr_num": 20,
+            "mapping_itr_num": 10, "keyframe_mapping_iters": 10,
             "gaussian_update_every": 10000, "gaussian_update_offset": 50,
             "gaussian_th": 0.7, "gaussian_extent": 1.0,
             "gaussian_reset": 20001, "size_threshold": 20,
@@ -77,6 +77,7 @@ def test_slam_cli_tum_dynamic(tmp_path, monkeypatch):
             # deformation off until frame horizon (tiny CPU run: exercise
             # the dynamic data path + masks, not the deform schedule)
             "dystart": 100,
+            "refinement_iters": 50,
             "lr": {"cam_rot_delta": 0.003, "cam_trans_delta": 0.001},
         },
         "opt_params": {"densify_grad_threshold": 0.0002},
