@@ -173,16 +173,14 @@ def _fwd_kernel_csr(ct_ref, cf_ref, pairs_ref, part_ref, nt_ref, bounds_ref,
             t_before = jnp.exp(cum - q["la"])
             w = jnp.where(applied, q["alpha"] * t_before, 0.0)
 
-            cols = [
-                jnp.sum(w * pairs_ref[f, q["sl"]][None, :], axis=1,
-                        keepdims=True)
-                for f in (F_R, F_G, F_B, F_DEPTH)
-            ]
-            la_app = jnp.sum(
-                jnp.where(applied, q["la"], 0.0), axis=1, keepdims=True
-            )
-            part_ref[s, :, :] = jnp.concatenate(
-                cols + [la_app, jnp.zeros((npix, 3), jnp.float32)], axis=1
+            # weighted color/depth accumulation as ONE MXU matmul
+            # (npix, CHUNK) @ (CHUNK, 4) instead of 4 VPU multiply+reduce
+            c4 = jnp.stack(
+                [pairs_ref[f, q["sl"]] for f in (F_R, F_G, F_B, F_DEPTH)],
+                axis=1,
+            )  # (CHUNK, 4)
+            acc_ref[:, 0:4] += jnp.dot(
+                w, c4, preferred_element_type=jnp.float32
             )
 
             nt = jnp.sum(
@@ -191,6 +189,9 @@ def _fwd_kernel_csr(ct_ref, cf_ref, pairs_ref, part_ref, nt_ref, bounds_ref,
             )
             nt_ref[0, q["sl"]] = nt[0, :]
 
+            acc_ref[:, A_LA:A_LA + 1] += jnp.sum(
+                jnp.where(applied, q["la"], 0.0), axis=1, keepdims=True
+            )
             acc_ref[:, A_CUM:A_CUM + 1] = cum[:, CHUNK - 1:CHUNK]
             done_ref[0] = jnp.where(
                 jnp.all(t_incl[:, CHUNK - 1] < T_EPS), 1, 0
@@ -200,9 +201,13 @@ def _fwd_kernel_csr(ct_ref, cf_ref, pairs_ref, part_ref, nt_ref, bounds_ref,
         def _skip():
             # saturated tile: later chunks contribute nothing; mark their
             # bounds never-executed so the backward zeroes them
-            part_ref[s, :, :] = jnp.zeros((npix, 8), jnp.float32)
             bounds_ref[s, 0, :] = jnp.full((npix,), -1e30, jnp.float32)
             nt_ref[0, pl.ds(s * CHUNK, CHUNK)] = jnp.zeros((CHUNK,), jnp.float32)
+
+        # RUNNING per-tile totals: the per-tile image is the row at the
+        # tile's last chunk (boundary gather outside) — no chunk-axis
+        # cumsum needed downstream
+        part_ref[s, :, :] = acc_ref[:, :]
 
 
 def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
@@ -223,13 +228,13 @@ def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
         def _init():
             acc_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)
 
-        g_c = gchunk_ref[s, :, 0:NCH]
-        g_d = gchunk_ref[s, :, NCH:NCH + 1]
+        g4 = gchunk_ref[s, :, 0:4]          # (npix, 4): [gr, gg, gb, gd]
         g_tf = gchunk_ref[s, :, NCH + 1:NCH + 2]
         t_final = gchunk_ref[s, :, NCH + 2:NCH + 3]
 
         q = _csr_quantities(pairs_ref, s, px, py)
         la = q["la"]
+        sl = q["sl"]
         cum = bounds_ref[s, 0, :][:, None] + jnp.dot(
             la, tri, preferred_element_type=jnp.float32
         )
@@ -239,9 +244,12 @@ def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
         w = jnp.where(applied, q["alpha"] * t_before, 0.0)
         inv_1ma = 1.0 / jnp.maximum(1.0 - q["alpha"], 1e-6)
 
-        u = g_d * pairs_ref[F_DEPTH, q["sl"]][None, :]
-        for ch, f in enumerate((F_R, F_G, F_B)):
-            u = u + g_c[:, ch:ch + 1] * pairs_ref[f, q["sl"]][None, :]
+        # u_i = sum_ch g_ch c_ch,i + g_d depth_i as ONE (npix,4)@(4,CHUNK)
+        # MXU matmul
+        c4 = jnp.stack(
+            [pairs_ref[f, sl] for f in (F_R, F_G, F_B, F_DEPTH)], axis=0
+        )  # (4, CHUNK)
+        u = jnp.dot(g4, c4, preferred_element_type=jnp.float32)
 
         wu = w * u
         incl = jnp.dot(wu, tri, preferred_element_type=jnp.float32)
@@ -257,20 +265,54 @@ def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
         unclamped = (q["raw"] < ALPHA_MAX).astype(jnp.float32)
         dalpha = jnp.where(applied, dalpha, 0.0) * unclamped
         dpower = q["raw"] * dalpha
-        dop_pp = q["g"] * dalpha
 
-        dx, dy, ca, cb, cc = q["dx"], q["dy"], q["ca"], q["cb"], q["cc"]
-        sl = q["sl"]
-        dpairs_ref[F_OP, sl] = jnp.sum(dop_pp, axis=0)
-        dpairs_ref[F_CA, sl] = jnp.sum(-0.5 * dx * dx * dpower, axis=0)
-        dpairs_ref[F_CB, sl] = jnp.sum(-dx * dy * dpower, axis=0)
-        dpairs_ref[F_CC, sl] = jnp.sum(-0.5 * dy * dy * dpower, axis=0)
-        dpairs_ref[F_MX, sl] = jnp.sum(-(ca * dx + cb * dy) * dpower, axis=0)
-        dpairs_ref[F_MY, sl] = jnp.sum(-(cc * dy + cb * dx) * dpower, axis=0)
-        dpairs_ref[F_R, sl] = jnp.sum(g_c[:, 0:1] * w, axis=0)
-        dpairs_ref[F_G, sl] = jnp.sum(g_c[:, 1:2] * w, axis=0)
-        dpairs_ref[F_B, sl] = jnp.sum(g_c[:, 2:3] * w, axis=0)
-        dpairs_ref[F_DEPTH, sl] = jnp.sum(g_d * w, axis=0)
+        # All six geometry gradients are pixel contractions of
+        # dpower against polynomials in (px, py): dx = mx - px is
+        # separable, so Sum_p poly(dx,dy) dpower collapses to the pixel
+        # MOMENTS [1, px, py, px^2, px*py, py^2] @ dpower — one
+        # (6, npix)@(npix, CHUNK) MXU matmul replacing ~18 VPU
+        # multiply+reduce passes (backward.cu:698-758 computes the same
+        # chain per thread).
+        lin2 = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+        ty = t // tx_n
+        tx = t - ty * tx_n
+        pxr = (tx * tile + lin2 % tile).astype(jnp.float32)
+        pyr = (ty * tile + lin2 // tile).astype(jnp.float32)
+        m6 = jnp.concatenate(
+            [jnp.ones((1, npix), jnp.float32), pxr, pyr,
+             pxr * pxr, pxr * pyr, pyr * pyr], axis=0
+        )  # (6, npix)
+        sm = jnp.dot(m6, dpower, preferred_element_type=jnp.float32)
+        s0, s1x, s1y = sm[0:1, :], sm[1:2, :], sm[2:3, :]
+        s2xx, s2xy, s2yy = sm[3:4, :], sm[4:5, :], sm[5:6, :]
+        mx = pairs_ref[F_MX, sl][None, :]
+        my = pairs_ref[F_MY, sl][None, :]
+        ca = pairs_ref[F_CA, sl][None, :]
+        cb = pairs_ref[F_CB, sl][None, :]
+        cc = pairs_ref[F_CC, sl][None, :]
+        op = pairs_ref[F_OP, sl][None, :]
+        sum_dx = mx * s0 - s1x
+        sum_dy = my * s0 - s1y
+        sum_dx2 = mx * mx * s0 - 2.0 * mx * s1x + s2xx
+        sum_dxy = mx * my * s0 - mx * s1y - my * s1x + s2xy
+        sum_dy2 = my * my * s0 - 2.0 * my * s1y + s2yy
+
+        # d_op = Sum g*dalpha = Sum dpower / op (op constant per pair)
+        dop = jnp.where(op > 1e-12, s0 / op, 0.0)
+
+        # color/depth gradients: (4, npix)@(npix, CHUNK) MXU matmul
+        gw = jnp.dot(g4.T, w, preferred_element_type=jnp.float32)
+
+        dpairs_ref[F_OP, sl] = dop[0, :]
+        dpairs_ref[F_CA, sl] = (-0.5 * sum_dx2)[0, :]
+        dpairs_ref[F_CB, sl] = (-sum_dxy)[0, :]
+        dpairs_ref[F_CC, sl] = (-0.5 * sum_dy2)[0, :]
+        dpairs_ref[F_MX, sl] = (-(ca * sum_dx + cb * sum_dy))[0, :]
+        dpairs_ref[F_MY, sl] = (-(cc * sum_dy + cb * sum_dx))[0, :]
+        dpairs_ref[F_R, sl] = gw[0, :]
+        dpairs_ref[F_G, sl] = gw[1, :]
+        dpairs_ref[F_B, sl] = gw[2, :]
+        dpairs_ref[F_DEPTH, sl] = gw[3, :]
 
 
 def _csr_fwd_impl(pairs, chunk_tile, chunk_first,
@@ -314,17 +356,16 @@ def _csr_fwd_impl(pairs, chunk_tile, chunk_first,
 
 
 def _csr_finalize(part, chunk_start, n_chunks, npix):
-    """Per-tile images from per-chunk partials: contiguous chunk segments
-    -> cumsum + boundary gathers (no scatter)."""
-    csum = jnp.cumsum(part, axis=0)
-    z = jnp.concatenate([jnp.zeros((1, npix, 8), part.dtype), csum], axis=0)
+    """Per-tile images from the kernel's RUNNING totals: the tile's image
+    is the row at its last chunk (one boundary row gather, no chunk-axis
+    cumsum). Empty tiles compose to background (T=1)."""
     c_max = part.shape[0]
-    starts = jnp.minimum(chunk_start, c_max)
-    ends = jnp.minimum(chunk_start + n_chunks, c_max)
-    tot = z[ends] - z[starts]                       # (VT, npix, 8)
-    color = tot[:, :, 0:NCH]
-    depth = tot[:, :, NCH]
-    t_final = jnp.exp(tot[:, :, NCH + 1])           # empty tile -> exp(0)=1
+    last = jnp.clip(chunk_start + n_chunks - 1, 0, c_max - 1)
+    tot = part[last]                                # (VT, npix, 8)
+    has = (n_chunks > 0)[:, None]
+    color = jnp.where(has[:, :, None], tot[:, :, 0:NCH], 0.0)
+    depth = jnp.where(has, tot[:, :, NCH], 0.0)
+    t_final = jnp.where(has, jnp.exp(tot[:, :, A_LA]), 1.0)
     return color, depth, t_final
 
 

@@ -55,6 +55,10 @@ def test_slam_cli_tum_dynamic(tmp_path, monkeypatch):
             "type": "tum",
             "sensor_type": "depth",
             "dataset_path": seq_dir,
+            "pcd_downsample": 16,
+            "pcd_downsample_init": 8,
+            "adaptive_pointsize": True,
+            "point_size": 0.05,
             "Calibration": {
                 "fx": 80.0, "fy": 80.0, "cx": (w - 1) / 2, "cy": (h - 1) / 2,
                 "width": w, "height": h, "depth_scale": 5000.0,
@@ -104,7 +108,7 @@ def test_slam_cli_tum_dynamic(tmp_path, monkeypatch):
     assert (run / "config.yml").exists()
     assert (run / "pose.txt").exists()
     final = json.load(open(run / "final_result.json"))
-    assert np.isfinite(final["rmse"])
+    assert np.isfinite(final["ate_rmse"])
 
 
 def test_motion_segmenter_uses_tracked_poses(tmp_path):
