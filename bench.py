@@ -23,6 +23,10 @@ import sys
 def main():
     import jax
 
+    from fourdgs.utils.xla_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from fourdgs.ops.rasterize import RasterConfig
     from fourdgs.slam.runner import SLAM
     from fourdgs.utils.config import ConfigDict

@@ -198,7 +198,7 @@ def write_tum_format(dataset: SyntheticDataset, out_dir: str, depth_scale: float
             (np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8)
         ).save(os.path.join(out_dir, rgb_rel))
         d16 = np.clip(depth * depth_scale, 0, 65535).astype(np.uint16)
-        Image.fromarray(d16, mode="I;16").save(os.path.join(out_dir, depth_rel))
+        Image.fromarray(d16).save(os.path.join(out_dir, depth_rel))
         rgb_lines.append(f"{ts} {rgb_rel}")
         depth_lines.append(f"{ts} {depth_rel}")
         T_wc = np.linalg.inv(T_cw)

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from fourdgs.models.gaussian_map import GaussianParams, MapLRs
 from fourdgs.ops.rasterize import RasterConfig, rasterize

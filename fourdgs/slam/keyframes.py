@@ -160,9 +160,13 @@ def keyframe_selection_overlap(
     sample_pixels: int = 1600,
 ) -> list[int]:
     """Project the anchor keyframe's depth into candidate keyframes and
-    rank by the fraction of points landing inside (reference
-    keyframe_selection_overlap, utils/camera_utils.py:319-366). Subsamples
-    pixels for speed (the reference projects all valid pixels)."""
+    keep those with any overlap (reference keyframe_selection_overlap,
+    utils/camera_utils.py:319-366). NOTE the reference's sort is dead
+    code: it permutes ALL percent_inside > 0 candidates with
+    np.random.permutation and takes the first 8-pose_window (:362-365) —
+    this function reproduces exactly that (sort, filter > 0, permute,
+    truncate). Subsamples pixels for speed (the reference projects all
+    valid pixels)."""
     h, w = depth0.shape
     vs, us = np.nonzero(depth0 > 0)
     if vs.size == 0:

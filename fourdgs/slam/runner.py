@@ -496,24 +496,17 @@ class SLAM:
         ext = self.gaussian_extent if extent is None else extent
         sth = self.size_threshold if size_th is None else size_th
 
-        done = 0
-        while done < total_iters:
-            # break at the next densify-cadence boundary (the reference's
-            # in-loop `iteration_count % update_every == offset` check,
-            # :723-726; only iterations past step_after advance
-            # iteration_count, :337-338)
-            if densify:
-                # fire when iteration_count % every == offset (reference
-                # :723-726)
-                per = self.gaussian_update_every
-                off = self.gaussian_update_offset % per
-                to_boundary = (off - self.iteration_count) % per
-                if to_boundary == 0:
-                    to_boundary = per
-            else:
-                to_boundary = total_iters
-            chunk = int(min(total_iters - done, max(1, to_boundary)))
+        # chunk boundaries + events from the pure cadence generator,
+        # pinned against the reference's per-iteration loop in
+        # tests/test_cadence.py (slam_backend.py:336-338,723-745)
+        from fourdgs.slam.cadence import mapping_cadence
 
+        done = 0
+        for chunk, new_it, fire in mapping_cadence(
+            total_iters, step_after, self.iteration_count,
+            self.gaussian_update_every, self.gaussian_update_offset,
+            self.gaussian_reset, densify=densify, reset=reset_cadence,
+        ):
             res = map_chunk(
                 self.gmap, self.adam, self.store,
                 slots, valid, opt_pose, pool, pool_size, pose_adam,
@@ -527,24 +520,16 @@ class SLAM:
             self.gmap, self.adam, self.store, pose_adam = (
                 res.gmap, res.adam, res.store, res.pose_adam
             )
-            prev = done
             done += chunk
-            if step_after < 0:
-                self.iteration_count += chunk
-            else:
-                self.iteration_count += max(0, done - max(prev, step_after + 1))
+            self.iteration_count = new_it
 
-            if densify and (
-                self.iteration_count % self.gaussian_update_every
-            ) == self.gaussian_update_offset % self.gaussian_update_every and self.iteration_count > 0:
+            if fire == "densify":
                 self.gmap, self.adam = gm.densify_and_prune(
                     self.gmap, self.adam, self._next_key(),
                     self.densify_grad_threshold, min_op, ext, sth,
                 )
                 self._maybe_grow()
-            elif reset_cadence and self.iteration_count > 0 and (
-                self.iteration_count % self.gaussian_reset
-            ) < 1:
+            elif fire == "reset":
                 vis = window_visibility(
                     self.gmap, self.store, slots, valid, self.intr, self.map_cfg
                 )
@@ -743,15 +728,22 @@ class SLAM:
             )
         t0 = time.time()
         t_warm = t0
+        self._phase = {"track": 0.0, "kf_check": 0.0, "keyframe": 0.0,
+                       "prefetch_wait": 0.0, "track_iters": 0}
         prefetcher = FramePrefetcher(
             self.dataset, edge_threshold=float(tr.get("edge_threshold", 1.1)),
             end=self.n_frames,
         )
         last_kf = 0
+        _pf = time.time()
         for idx, frame, pose_gt in prefetcher:
+            self._phase["prefetch_wait"] += time.time() - _pf
             if idx == warmup_frames:
                 jax.block_until_ready(self.gmap.params.xyz)
                 t_warm = time.time()
+                # steady-state phase attribution (compiles excluded)
+                for k in self._phase:
+                    self._phase[k] = 0 if k == "track_iters" else 0.0
             if idx == 0:
                 self._initialize(frame)
                 last_kf = 0
@@ -760,10 +752,13 @@ class SLAM:
             self.initialized = self.initialized or len(self.window) == self.window_size
             T_init = jnp.asarray(self.poses_est[idx - 1], jnp.float32)
             exp_init = jnp.asarray(self.exposures.get(idx - 1, np.zeros(2)), jnp.float32)
+            _pt = time.time()
             res = track_frame(
                 self.gmap, frame, T_init, exp_init, self.intr, self.track_cfg,
             )
             self.poses_est[idx] = np.asarray(res.T_cw)
+            self._phase["track"] += time.time() - _pt
+            self._phase["track_iters"] += int(res.n_iters)
             self.exposures[idx] = np.asarray(res.exposure)
             self.median_depth = float(res.median_depth)
             if viewer is not None:
@@ -774,9 +769,11 @@ class SLAM:
 
             check_time = (idx - last_kf) >= self.kf_interval
             if not check_time:
+                _pf = time.time()
                 continue
 
             # visibility at the tracked pose (needs n_touched)
+            _pt = time.time()
             out = render_keyframe(
                 self.gmap,
                 self.store._replace(
@@ -797,9 +794,12 @@ class SLAM:
                 ratio = inter / union if union else 0.0
                 create_kf = check_time and ratio < self.kf_overlap
             create_kf = check_time and (create_kf or (idx - last_kf) >= 5)
+            self._phase["kf_check"] += time.time() - _pt
 
             if create_kf:
+                _pt = time.time()
                 self._handle_keyframe(idx, frame, curr_visibility)
+                self._phase["keyframe"] += time.time() - _pt
                 last_kf = idx
                 Log(
                     f"KF {idx}: {int(self.gmap.num_alive)} gaussians, "
@@ -815,10 +815,21 @@ class SLAM:
                     stats = self.eval_ate(label=f"frame_{idx}")
                     Log(f"ATE RMSE @ frame {idx}: {stats['rmse']:.4f} m", tag="Eval")
                     self._wandb_log({"ate": stats["rmse"], "frame": idx})
+            _pf = time.time()
 
         jax.block_until_ready(self.gmap.params.xyz)
         elapsed = time.time() - t0
         fps = self.n_frames / elapsed
+        ph = dict(self._phase)
+        known = ph["track"] + ph["kf_check"] + ph["keyframe"] + ph["prefetch_wait"]
+        steady_elapsed = time.time() - t_warm
+        Log(
+            "Steady-state phase times: track {track:.1f}s ({track_iters} "
+            "iters), kf_check {kf_check:.1f}s, keyframe(mapping) "
+            "{keyframe:.1f}s, prefetch_wait {prefetch_wait:.1f}s, "
+            "other {other:.1f}s".format(other=steady_elapsed - known, **ph),
+            tag="Perf",
+        )
         Log(f"Total FPS: {fps:.3f} ({self.n_frames} frames / {elapsed:.1f}s)")
         self.metrics["fps"] = fps
         if warmup_frames > 0 and self.n_frames > warmup_frames:

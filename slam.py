@@ -38,6 +38,9 @@ def main(argv=None):
 
     from fourdgs.utils.config import load_config
     from fourdgs.utils.logging import Log
+    from fourdgs.utils.xla_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     config = load_config(args.config)
     if args.eval:

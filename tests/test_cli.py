@@ -5,6 +5,11 @@ import json
 import os
 import sys
 
+import pytest
+
+
+pytestmark = pytest.mark.slow
+
 
 def test_slam_cli_smoke(tmp_path, monkeypatch):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -13,8 +13,13 @@ import json
 import os
 import sys
 
+import pytest
+
 import numpy as np
 import yaml
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_slam_cli_tum_dynamic(tmp_path, monkeypatch):

@@ -10,6 +10,8 @@ import pytest
 
 from fourdgs.utils.config import ConfigDict
 
+pytestmark = pytest.mark.slow
+
 
 def _synthetic_config(num_frames=15, w=80, h=60):
     return ConfigDict.wrap(

@@ -9,6 +9,8 @@ import pytest
 
 from tests.test_end_to_end import _synthetic_config
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dyn_slam(tmp_path_factory):
