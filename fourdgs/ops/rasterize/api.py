@@ -293,6 +293,55 @@ def compute_bins(
     jax.jit,
     static_argnames=("fx", "fy", "width", "height", "tan_fovx", "tan_fovy", "config"),
 )
+def compute_bins_multi(
+    means3d: jax.Array,     # (N, 3) shared or (V, N, 3)
+    scales: jax.Array,
+    quats: jax.Array,
+    alive: jax.Array,
+    T_cws: jax.Array,       # (V, 4, 4)
+    proj: jax.Array,
+    *,
+    fx: float,
+    fy: float,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    scale_mod: float = 1.0,
+    config: RasterConfig = RasterConfig(),
+):
+    """Per-view tile binning for a view set (forward-only) — the
+    reusable part of `rasterize_multi` for mapping-iteration bins
+    reuse."""
+    ax = lambda a, nd: 0 if a.ndim == nd else None
+    sgs = jax.vmap(
+        lambda m, s, q, T: preprocess(
+            jax.lax.stop_gradient(m), jax.lax.stop_gradient(s),
+            jax.lax.stop_gradient(q),
+            jnp.ones(means3d.shape[-2]),
+            jnp.zeros((means3d.shape[-2], 3)),
+            alive, jax.lax.stop_gradient(T), proj,
+            fx=fx, fy=fy, width=width, height=height,
+            tan_fovx=tan_fovx, tan_fovy=tan_fovy,
+            scale_mod=scale_mod, max_radius=config.max_radius,
+        ),
+        in_axes=(ax(means3d, 3), ax(scales, 3), ax(quats, 3), 0),
+    )(means3d, scales, quats, T_cws)
+    return jax.lax.map(
+        lambda args: bin_gaussians(
+            args[0], args[1], args[2], args[3],
+            width=width, height=height, tile=config.tile,
+            max_rect=config.max_rect, max_pairs=config.max_pairs,
+            tile_cap=config.tile_cap,
+        ),
+        (sgs.mean2d, sgs.depth, sgs.radius, sgs.visible),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "width", "height", "tan_fovx", "tan_fovy", "config"),
+)
 def rasterize_multi(
     means3d: jax.Array,     # (N, 3) shared or (V, N, 3) per-view (deformed)
     scales: jax.Array,      # (N, 3) or (V, N, 3)
@@ -313,13 +362,17 @@ def rasterize_multi(
     scale_mod: float = 1.0,
     mean2d_offsets: jax.Array | None = None,   # (V, N, 2) gradient taps
     config: RasterConfig = RasterConfig(),
+    bins=None,                                 # reuse a compute_bins_multi result
 ) -> RenderOutputs:
     """Batched multi-view render: V views in one preprocess/binning vmap
     and ONE Pallas launch (grid = V x tiles). This is the mapping
     backend's per-iteration workhorse — the reference renders its window
     sequentially (slam_backend.py:306-774, per-viewpoint render calls);
     batching the views keeps the TPU pipelines full and shares the
-    Gaussian activations. Outputs carry a leading V axis."""
+    Gaussian activations. Outputs carry a leading V axis. `bins` reuses a
+    previous `compute_bins_multi` result across nearby mapping
+    iterations (per-iteration parameter/pose deltas move screen means by
+    far less than a tile)."""
     v = T_cws.shape[0]
     ax = lambda a, nd: 0 if a.ndim == nd else None
     if config.use_oracle:
@@ -348,21 +401,22 @@ def rasterize_multi(
         sg = sg._replace(mean2d=sg.mean2d + mean2d_offsets)
 
     tx_n, ty_n = tile_grid(width, height, config.tile)
-    # sequential per-view binning (lax.map): XLA's batched (vmapped) sort
-    # runs ~2.5x slower than V back-to-back sorts at these shapes
-    bins = jax.lax.map(
-        lambda args: bin_gaussians(
-            args[0], args[1], args[2], args[3],
-            width=width, height=height, tile=config.tile,
-            max_rect=config.max_rect, max_pairs=config.max_pairs,
-            tile_cap=config.tile_cap,
-        ),
-        (
-            jax.lax.stop_gradient(sg.mean2d),
-            jax.lax.stop_gradient(sg.depth),
-            sg.radius, sg.visible,
-        ),
-    )
+    if bins is None:
+        # sequential per-view binning (lax.map): XLA's batched (vmapped)
+        # sort runs ~2.5x slower than V back-to-back sorts at these shapes
+        bins = jax.lax.map(
+            lambda args: bin_gaussians(
+                args[0], args[1], args[2], args[3],
+                width=width, height=height, tile=config.tile,
+                max_rect=config.max_rect, max_pairs=config.max_pairs,
+                tile_cap=config.tile_cap,
+            ),
+            (
+                jax.lax.stop_gradient(sg.mean2d),
+                jax.lax.stop_gradient(sg.depth),
+                sg.radius, sg.visible,
+            ),
+        )
 
     n = sg.mean2d.shape[1]
     fields_geo = jnp.concatenate(

@@ -117,7 +117,7 @@ def sharded_map_step(
             mesh=mesh,
             in_specs=(pspec_g, pspec_g, pspec_g, P(axis)) + pspec_views,
             out_specs=(pspec_g, pspec_g, pspec_g, P()),
-            check_rep=False,
+            check_vma=False,
         )(params_sh, mu_sh, nu_sh, alive_sh, images, depths, poses)
         params_sh, mu_sh, nu_sh, loss = out
         return params_sh, mu_sh, nu_sh, count + 1, loss
@@ -149,7 +149,7 @@ def batch_render_sharded(
             mesh=mesh,
             in_specs=(P(axis),),
             out_specs=(P(axis), P(axis), P(axis)),
-            check_rep=False,
+            check_vma=False,
         )(poses)
 
     return jax.jit(render_batch)

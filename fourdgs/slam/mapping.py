@@ -44,7 +44,7 @@ from fourdgs.models.gaussian_map import (
     adam_step,
 )
 from fourdgs.ops.rasterize import RasterConfig, rasterize
-from fourdgs.ops.rasterize.api import rasterize_multi
+from fourdgs.ops.rasterize.api import compute_bins_multi, rasterize_multi
 from fourdgs.slam.camera import Intrinsics
 from fourdgs.slam.keyframes import KeyframeStore
 from fourdgs.slam.losses import apply_exposure, isotropic_loss, mapping_loss_rgbd
@@ -72,6 +72,13 @@ class MappingConfig(NamedTuple):
     # over xyz_lr_max_steps global iterations.
     xyz_lr_ratio: float = 0.01    # position_lr_final / position_lr_init
     xyz_lr_max_steps: int = 30000
+    # tile binning of the WINDOW views is recomputed every `rebin_every`
+    # iterations inside a chunk (replay views re-bin every iteration —
+    # their slots change). Per-iteration parameter/pose deltas move
+    # screen means far less than a 16px tile, and chunks break at
+    # densify boundaries so structure changes always rebin. 1 = the
+    # reference behavior of re-sorting every render.
+    rebin_every: int = 4
 
     @property
     def num_views(self) -> int:
@@ -120,7 +127,7 @@ def _render_view(gmap: GaussianMap, T_cw, proj, intr: Intrinsics, cfg: MappingCo
 
 
 def _render_views(gmap: GaussianMap, T_cws, proj, intr: Intrinsics,
-                  cfg: MappingConfig, mean2d_offsets=None):
+                  cfg: MappingConfig, mean2d_offsets=None, bins=None):
     """Batched render of V views of the shared map (one kernel launch)."""
     return rasterize_multi(
         gmap.params.xyz,
@@ -135,6 +142,19 @@ def _render_views(gmap: GaussianMap, T_cws, proj, intr: Intrinsics,
         fx=intr.fx, fy=intr.fy, width=intr.width, height=intr.height,
         tan_fovx=intr.tan_fovx, tan_fovy=intr.tan_fovy,
         mean2d_offsets=mean2d_offsets,
+        config=cfg.raster,
+        bins=bins,
+    )
+
+
+def _window_bins(gmap: GaussianMap, store: KeyframeStore, slots, proj,
+                 intr: Intrinsics, cfg: MappingConfig):
+    """Forward-only binning of a view subset at current poses."""
+    return compute_bins_multi(
+        gmap.params.xyz, gmap.get_scaling, gmap.get_rotation, gmap.alive,
+        store.T_cw[slots], proj,
+        fx=intr.fx, fy=intr.fy, width=intr.width, height=intr.height,
+        tan_fovx=intr.tan_fovx, tan_fovy=intr.tan_fovy,
         config=cfg.raster,
     )
 
@@ -151,6 +171,7 @@ def _view_set_loss(
     proj: jax.Array,
     intr: Intrinsics,
     cfg: MappingConfig,
+    bins=None,
 ):
     """Sum of per-view mapping losses over a view set (ONE batched render;
     no isotropic term — the caller adds it once). Shared by the
@@ -164,7 +185,8 @@ def _view_set_loss(
     images_gt = store.images_u8[slots].astype(jnp.float32) / 255.0
     depths_gt = store.depths[slots]
     motions = store.motion[slots]
-    out = _render_views(g, T_vs, proj, intr, cfg, mean2d_offsets=taps)
+    out = _render_views(g, T_vs, proj, intr, cfg, mean2d_offsets=taps,
+                        bins=bins)
     images_ab = jax.vmap(apply_exposure)(
         out.color, exp_abs[:, 0], exp_abs[:, 1]
     )
@@ -270,7 +292,7 @@ def map_chunk(
     )
 
     def body(i, state):
-        gmap, adam, store, pose_adam, _ = state
+        gmap, adam, store, pose_adam, _, _ = state
         ki = jax.random.fold_in(key, i)
 
         # --- random replay picks (distinct, from the host-provided pool) ---
@@ -298,11 +320,29 @@ def map_chunk(
             )
 
         if mesh is None:
+            # window-view binning reused across rebin_every iterations;
+            # replay (+pad) views re-bin every iteration (fresh slots)
+            if not cfg.raster.use_oracle and cfg.rebin_every > 1:
+                bins_w = jax.lax.cond(
+                    i % cfg.rebin_every == 0,
+                    lambda: _window_bins(gmap, store, window_slots, proj, intr, cfg),
+                    lambda: state[-1],
+                )
+                bins_r = _window_bins(
+                    gmap, store, slots[vw:], proj, intr, cfg
+                )
+                bins = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b]), bins_w, bins_r
+                )
+            else:
+                bins_w = state[-1]   # placeholder carry (unused)
+                bins = None
+
             def loss_fn(params, dtaus, dexps, taps):
                 g = gmap._replace(params=params)
                 total, radii_oks = _view_set_loss(
                     g, store, slots, valids, dtaus, dexps, taps, ems,
-                    proj, intr, cfg,
+                    proj, intr, cfg, bins=bins,
                 )
                 return total + iso_fn(params), radii_oks
 
@@ -313,7 +353,9 @@ def map_chunk(
         else:
             # views sharded over the mesh axis, map replicated: each device
             # renders nvp/ndev views and backprops them; param-grads and the
-            # scalar loss are psum'd, per-view grads stay sharded
+            # scalar loss are psum'd, per-view grads stay sharded.
+            # (binning stays exact per-iteration on the mesh path)
+            bins_w = state[-1]
             ax = mesh.axis_names[0]
 
             def shard_fn(slots_l, valids_l, dtaus_l, dexps_l, taps_l, ems_l):
@@ -336,7 +378,7 @@ def map_chunk(
                 shard_fn, mesh=mesh,
                 in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
                 out_specs=(P(), P(ax), P(), P(ax), P(ax), P(ax)),
-                check_rep=False,
+                check_vma=False,
             )(slots, valids, dtaus, dexps, taps, ems)
             iso_val, iso_grad = jax.value_and_grad(iso_fn)(gmap.params)
             loss_val = loss_views + iso_val
@@ -405,10 +447,18 @@ def map_chunk(
         )
         pose_adam = PoseAdam(mu=mu, nu=nu, count=count)
 
-        return (gmap, adam, store, pose_adam, loss_val)
+        return (gmap, adam, store, pose_adam, loss_val, bins_w)
 
-    init = (gmap, adam, store, pose_adam, jnp.asarray(jnp.inf, jnp.float32))
-    gmap, adam, store, pose_adam, loss_val = jax.lax.fori_loop(
+    reuse_bins = (
+        mesh is None and not cfg.raster.use_oracle and cfg.rebin_every > 1
+    )
+    bins_w0 = (
+        _window_bins(gmap, store, window_slots, proj, intr, cfg)
+        if reuse_bins else jnp.zeros((0,))
+    )
+    init = (gmap, adam, store, pose_adam, jnp.asarray(jnp.inf, jnp.float32),
+            bins_w0)
+    gmap, adam, store, pose_adam, loss_val, _ = jax.lax.fori_loop(
         0, num_iters, body, init
     )
     return MapChunkResult(

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--views", type=int, default=10)
     ap.add_argument("--cap", type=int, default=32768)
     ap.add_argument("--trace", default="", help="profiler trace dir")
+    ap.add_argument("--rebin", type=int, default=4)
     args = ap.parse_args()
 
     from fourdgs.models.gaussian_map import (
@@ -69,6 +70,7 @@ def main():
     cfg = MappingConfig(
         num_window_views=vw, num_random_views=2,
         raster=RasterConfig(with_n_touched=False),
+        rebin_every=args.rebin,
     )
     slots = jnp.arange(vw, dtype=jnp.int32)
     valid = jnp.ones(vw, bool)
