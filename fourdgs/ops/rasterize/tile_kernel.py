@@ -434,6 +434,7 @@ def reduce_aligned_by_gaussian(
     boundary gathers (no scatter). Returns (N+1, F)."""
     max_pairs = bygid_aligned.shape[0]
     safe = jnp.maximum(bygid_aligned, 0)
+    values_rows, safe = jax.lax.optimization_barrier((values_rows, safe))
     vals = values_rows[safe] * (
         bygid_aligned >= 0
     ).astype(values_rows.dtype)[:, None]
@@ -448,8 +449,13 @@ def reduce_aligned_by_gaussian(
 
 def _csr_gather_pairs(fields_geo, fields_app, aligned_gid):
     """fields rows (N+1, 6)+(N+1, 4) -> CHUNK-aligned (FIELDS, P) pair
-    buffer (single row gather from the VMEM-resident field table)."""
+    buffer (single row gather from the VMEM-resident field table). The
+    optimization_barrier stops XLA fusing the field-table construction
+    into the gather — the fused kCustom gather lowers to the scalar
+    emitter (~100x slower than the standalone vector gather at this
+    shape)."""
     rows = jnp.concatenate([fields_geo, fields_app], axis=1)  # (N+1, F)
+    rows, aligned_gid = jax.lax.optimization_barrier((rows, aligned_gid))
     return rows[aligned_gid].T                                # (F, P)
 
 
