@@ -42,6 +42,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float),
             ]
+            lib.knn_mean_sq_dist.restype = None
             lib.voxel_downsample.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
                 ctypes.POINTER(ctypes.c_uint8),
@@ -52,6 +53,7 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.region_filter.restype = None
             _lib = lib
         except Exception:
             _lib = None
@@ -121,25 +123,19 @@ def region_filter(mask: np.ndarray, min_region: int) -> np.ndarray:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         return out.reshape(h, w).astype(bool)
-    # numpy fallback: BFS labeling
-    seen = np.zeros((h, w), bool)
-    out = np.zeros((h, w), bool)
+    # vectorized fallback (this runs on the per-frame prefetch hot path:
+    # a per-pixel Python BFS costs seconds at 640x480)
     mb = mask.astype(bool)
-    for sy in range(h):
-        for sx in range(w):
-            if not mb[sy, sx] or seen[sy, sx]:
-                continue
-            stack = [(sy, sx)]
-            seen[sy, sx] = True
-            comp = []
-            while stack:
-                y, x = stack.pop()
-                comp.append((y, x))
-                for ny, nx in ((y-1,x),(y+1,x),(y,x-1),(y,x+1)):
-                    if 0 <= ny < h and 0 <= nx < w and mb[ny, nx] and not seen[ny, nx]:
-                        seen[ny, nx] = True
-                        stack.append((ny, nx))
-            if len(comp) >= min_region:
-                for y, x in comp:
-                    out[y, x] = True
-    return out
+    try:
+        from scipy.ndimage import label
+
+        lbl, n_lab = label(mb)
+        if n_lab == 0:
+            return np.zeros((h, w), bool)
+        sizes = np.bincount(lbl.reshape(-1), minlength=n_lab + 1)
+        keep_lab = sizes >= min_region
+        keep_lab[0] = False
+        return keep_lab[lbl]
+    except Exception:
+        # crude global-count fallback (no scipy): all-or-nothing
+        return mb if mb.sum() >= min_region else np.zeros((h, w), bool)

@@ -83,6 +83,14 @@ def bin_gaussians(
     max_pairs: int = 1 << 18,
     tile_cap: int = 1024,
 ) -> TileBins:
+    # the CSR compositor walks the pair buffer CHUNK*SUBS slots per grid
+    # program (tile_kernel.py: c_max // SUBS); a non-multiple max_pairs
+    # would silently floor-drop tail chunks
+    if max_pairs % (CHUNK * 4):
+        raise ValueError(
+            f"max_pairs ({max_pairs}) must be a multiple of {CHUNK * 4} "
+            "(CSR chunk size x kernel sub-chunks)"
+        )
     n = mean2d.shape[0]
     tx_n, ty_n = tile_grid(width, height, tile)
     num_tiles = tx_n * ty_n

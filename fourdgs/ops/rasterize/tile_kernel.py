@@ -272,12 +272,19 @@ def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
         # MOMENTS [1, px, py, px^2, px*py, py^2] @ dpower — one
         # (6, npix)@(npix, CHUNK) MXU matmul replacing ~18 VPU
         # multiply+reduce passes (backward.cu:698-758 computes the same
-        # chain per thread).
+        # chain per thread). TILE-LOCAL coordinates (both pixels and
+        # means shifted by the tile origin — dx is shift-invariant, so
+        # this is mathematically identical) keep the contracted term
+        # magnitudes ~40x smaller than absolute image coordinates,
+        # avoiding fp32 cancellation between ~4e5-scale moments and the
+        # ~1e2-scale result at 640+ px widths.
         lin2 = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
         ty = t // tx_n
         tx = t - ty * tx_n
-        pxr = (tx * tile + lin2 % tile).astype(jnp.float32)
-        pyr = (ty * tile + lin2 // tile).astype(jnp.float32)
+        ox = (tx * tile).astype(jnp.float32)
+        oy = (ty * tile).astype(jnp.float32)
+        pxr = (lin2 % tile).astype(jnp.float32)
+        pyr = (lin2 // tile).astype(jnp.float32)
         m6 = jnp.concatenate(
             [jnp.ones((1, npix), jnp.float32), pxr, pyr,
              pxr * pxr, pxr * pyr, pyr * pyr], axis=0
@@ -285,8 +292,8 @@ def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
         sm = jnp.dot(m6, dpower, preferred_element_type=jnp.float32)
         s0, s1x, s1y = sm[0:1, :], sm[1:2, :], sm[2:3, :]
         s2xx, s2xy, s2yy = sm[3:4, :], sm[4:5, :], sm[5:6, :]
-        mx = pairs_ref[F_MX, sl][None, :]
-        my = pairs_ref[F_MY, sl][None, :]
+        mx = pairs_ref[F_MX, sl][None, :] - ox
+        my = pairs_ref[F_MY, sl][None, :] - oy
         ca = pairs_ref[F_CA, sl][None, :]
         cb = pairs_ref[F_CB, sl][None, :]
         cc = pairs_ref[F_CC, sl][None, :]
@@ -320,6 +327,11 @@ def _csr_fwd_impl(pairs, chunk_tile, chunk_first,
     """pairs (FIELDS, P) CHUNK-aligned -> per-chunk partials (c_max, npix,
     8), per-slot nt (P,), per-chunk entry bounds (c_max, npix)."""
     p = pairs.shape[1]
+    if p % (CHUNK * SUBS):
+        raise ValueError(
+            f"pair buffer length {p} must be a multiple of CHUNK*SUBS "
+            f"({CHUNK * SUBS}); the grid would floor-drop tail chunks"
+        )
     c_max = p // CHUNK
     npix = tile * tile
     kern = functools.partial(

@@ -33,7 +33,12 @@ def mapping_cadence(
     (and can fire events). step_after < 0 means every iteration counts.
     """
     def next_boundary(it: int, period: int, off: int) -> int:
-        tb = (off % period - it) % period
+        if off >= period:
+            # the reference compares the RAW offset
+            # (iteration_count % every == offset, slam_backend.py:724-725)
+            # which never fires when offset >= every
+            return 1 << 62
+        tb = (off - it) % period
         return period if tb == 0 else tb
 
     done = 0
@@ -62,7 +67,7 @@ def mapping_cadence(
         counted = done - 1 > step_after  # last executed iteration counted?
         if (
             densify and counted
-            and it % update_every == update_offset % update_every
+            and it % update_every == update_offset
             and it > 0
         ):
             fire = "densify"

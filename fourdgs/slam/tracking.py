@@ -46,6 +46,12 @@ class TrackingConfig(NamedTuple):
     # (exact re-bin at the final render; 1 = reference behavior of
     # re-sorting every call)
     rebin_every: int = 8
+    # safeguard on the stale-binning assumption: if the previous applied
+    # pose step exceeds this SE(3) norm (roughly a tile's worth of screen
+    # motion at typical depth/focal: 16px/535 ~ 0.03 rad / 0.06 m), the
+    # next iteration re-bins immediately instead of waiting for the
+    # cadence (early iterations on fast motion can move > a tile)
+    rebin_delta_threshold: float = 0.01
     raster: RasterConfig = RasterConfig()
 
 
@@ -147,10 +153,11 @@ def track_frame(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def body(state):
-        T_cw, exp_ab, mu, nu, count, _, _, bins = state
+        T_cw, exp_ab, mu, nu, count, _, _, bins, last_tau = state
         if config.rebin_every > 1:
             bins = jax.lax.cond(
-                count % config.rebin_every == 0,
+                (count % config.rebin_every == 0)
+                | (last_tau > config.rebin_delta_threshold),
                 lambda: bins_at(T_cw),
                 lambda: bins,
             )
@@ -164,8 +171,10 @@ def track_frame(
         tau = jnp.concatenate([upd[:3], upd[3:6]])
         T_new = se3_exp(tau) @ T_cw
         exp_new = exp_ab + upd[6:8]
-        converged = jnp.linalg.norm(tau) < config.converged_threshold
-        return (T_new, exp_new, mu, nu, count, converged, loss_val, bins)
+        tau_norm = jnp.linalg.norm(tau)
+        converged = tau_norm < config.converged_threshold
+        return (T_new, exp_new, mu, nu, count, converged, loss_val, bins,
+                tau_norm)
 
     def cond(state):
         return (state[4] < config.max_iters) & ~state[5]
@@ -179,8 +188,11 @@ def track_frame(
         jnp.asarray(False),
         jnp.asarray(jnp.inf, jnp.float32),
         bins_at(T_init),
+        jnp.zeros((), jnp.float32),
     )
-    T_cw, exp_ab, _, _, count, _, loss_val, _ = jax.lax.while_loop(cond, body, init)
+    T_cw, exp_ab, _, _, count, _, loss_val, _, _ = jax.lax.while_loop(
+        cond, body, init
+    )
 
     out = render_at(T_cw)
     med, _, _ = median_depth(out.depth, out.alpha)

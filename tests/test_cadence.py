@@ -18,7 +18,9 @@ def reference_events(total_iters, step_after, it0, every, offset, reset):
     for i in range(total_iters):
         if i > step_after:
             it += 1
-        upd = (it % every == offset % every) and i > step_after and it > 0
+        # literal reference condition (slam_backend.py:724-725): the RAW
+        # offset — never fires when offset >= every
+        upd = (it % every == offset) and i > step_after and it > 0
         if upd:
             events.append(("densify", it))
         elif (it % reset == 0) and i > step_after and it > 0:
@@ -45,7 +47,8 @@ def test_cadence_matches_reference_loop():
         [1, 7, 60, 150, 200, 1050],       # total_iters
         [-1, 0, 100],                     # step_after
         [0, 40, 149, 1990],               # starting iteration_count
-        [(150, 50, 2001), (100, 50, 500), (30, 0, 97), (150, 50, 130)],
+        [(150, 50, 2001), (100, 50, 500), (30, 0, 97), (150, 50, 130),
+         (30, 50, 97)],          # offset >= every: densify never fires
     )
     for total, sa, it0, (every, offset, reset) in grids:
         ref_ev, ref_it = reference_events(total, sa, it0, every, offset, reset)
