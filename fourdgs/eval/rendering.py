@@ -75,12 +75,20 @@ def eval_rendering(
     interval: int = 1,
     dump_images: bool = False,
     novel_render_fn=None,
+    dump_interval: int | None = None,
 ) -> dict:
     """render_fn(idx) -> (image (3,H,W), depth (H,W)) jnp arrays at the
-    estimated pose for dataset frame idx. With dump_images, evaluated
-    frames (and novel views when novel_render_fn is given) are saved as
-    PNGs under <save_dir>/renders/<label>/ (reference
-    eval_utils.py:346-405)."""
+    estimated pose for dataset frame idx.
+
+    `interval` is the METRIC stride: the reference evaluates
+    PSNR/SSIM/LPIPS/L1-depth on every frame (eval_utils.py:320 `for idx
+    in range(0, end_idx)`; its `interval = 5` local at :311 is dead
+    code), so production callers pass 1 — tests may subsample.
+    `dump_interval` gates IMAGE DUMPS only, like the reference's
+    `save_interval` ((idx + 1) % save_interval == 0 or idx == 0,
+    eval_utils.py:346-351); None dumps every evaluated frame. With
+    dump_images, frames (and novel views when novel_render_fn is given)
+    are saved as PNGs under <save_dir>/renders/<label>/."""
     psnrs, ssims, lpipss, l1ds = [], [], [], []
     lpips = _lpips_fn()
     dump_dir = os.path.join(save_dir, "renders", label)
@@ -104,7 +112,12 @@ def eval_rendering(
         mask = jnp.asarray(gt_image).sum(axis=0) > 0.01
         if mask_dynamic:
             mask = mask & jnp.asarray(motion_mask)
-        if dump_images:
+        dump_this = dump_images and (
+            dump_interval is None
+            or (idx + 1) % dump_interval == 0
+            or idx == 0
+        )
+        if dump_this:
             _dump(f"{idx:05d}_render.png", img)
             _dump(f"{idx:05d}_gt.png", gt_image)
             if novel_render_fn is not None:

@@ -72,15 +72,17 @@ def mapping_loss_rgbd(
     alpha: float = 0.95,
     rgb_boundary_threshold: float = 0.01,
     rm_dynamic: bool = False,
-    dynamic: bool = False,
+    dynamic: bool | jax.Array = False,
 ) -> jax.Array:
     """L1 RGB + L1 depth mapping loss (reference get_loss_mapping_rgbd,
     utils/slam_utils.py:274-364). With `dynamic=True` the per-pixel L1 is
     upweighted x2 on dynamic regions (~motion_mask, and optionally the
     flow-consistency mask) instead of the reference's in-place writes.
-    `extra_mask` is the reproject_mask path (reference `mask=` kwarg,
-    slam_utils.py:292-294): ANDed into both pixel masks when
-    rm_dynamic."""
+    `dynamic` may be a TRACED bool: the dynamic mapping loop flips it at
+    the half-iteration phase switch (reference slam_backend.py:349-356)
+    inside a fori_loop. `extra_mask` is the reproject_mask path
+    (reference `mask=` kwarg, slam_utils.py:292-294): ANDed into both
+    pixel masks when rm_dynamic."""
     rgb_mask = jnp.sum(gt_image, axis=0) > rgb_boundary_threshold
     depth_mask = (gt_depth > 0.01) & (gt_depth < 10000.0)
     if motion_mask is not None and rm_dynamic:
@@ -96,11 +98,12 @@ def mapping_loss_rgbd(
     l1_rgb = jnp.abs((image - gt_image) * rgb_mask.astype(image.dtype)[None])
     l1_depth = jnp.abs((depth - gt_depth) * depth_mask.astype(depth.dtype))
 
-    if dynamic and motion_mask is not None:
+    if dynamic is not False and motion_mask is not None:
         up = ~motion_mask
         if flow_consistency_mask is not None:
             up = up | flow_consistency_mask
-        w = jnp.where(up, 2.0, 1.0).astype(image.dtype)
+        dyn = jnp.asarray(dynamic)   # static True or a traced phase flag
+        w = jnp.where(up & dyn, 2.0, 1.0).astype(image.dtype)
         l1_rgb = l1_rgb * w[None]
         l1_depth = l1_depth * w
 

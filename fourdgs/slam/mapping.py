@@ -85,6 +85,26 @@ class MappingConfig(NamedTuple):
         return self.num_window_views + self.num_random_views
 
 
+def refine_picks(key, rand_pool: jax.Array, rand_pool_size: jax.Array,
+                 nv: int):
+    """Per-iteration color-refinement view sampling: `nv` DISTINCT random
+    keyframes drawn uniformly from the full history (reference
+    color_refinement pops 10 random entries from the whole viewpoint
+    stack each iteration, slam_backend.py:783-789 — NOT a fixed window).
+    Masked argsort of uniform keys = a uniform random subset of the valid
+    pool entries. Returns (slots (nv,), valids (nv,))."""
+    m = rand_pool.shape[0]
+    u = jax.random.uniform(key, (m,))
+    u = jnp.where(jnp.arange(m) < rand_pool_size, u, jnp.inf)
+    order = jnp.argsort(u)
+    take = min(nv, m)            # pool buffer may be shorter than nv
+    slots = jnp.zeros(nv, rand_pool.dtype).at[:take].set(
+        rand_pool[order[:take]]
+    )
+    valids = jnp.arange(nv) < jnp.minimum(rand_pool_size, take)
+    return slots, valids
+
+
 class PoseAdam(NamedTuple):
     mu: jax.Array     # (V, 8) [trans(3), rot(3), exposure(2)]
     nu: jax.Array     # (V, 8)
@@ -295,20 +315,28 @@ def map_chunk(
         gmap, adam, store, pose_adam, _, _ = state
         ki = jax.random.fold_in(key, i)
 
-        # --- random replay picks (distinct, from the host-provided pool) ---
-        size = jnp.maximum(rand_pool_size, 1)
-        r1 = jax.random.randint(ki, (), 0, size)
-        r2 = jax.random.randint(jax.random.fold_in(ki, 1), (), 0, jnp.maximum(size - 1, 1))
-        r2 = jnp.where(r2 >= r1, r2 + 1, r2) % size
-        rand_slots = jnp.stack([rand_pool[r1], rand_pool[r2]])[:vr]
-        rand_valid = jnp.arange(vr) < jnp.minimum(rand_pool_size, vr)
+        if cfg.refine:
+            # color refinement: the ENTIRE view set is nv distinct random
+            # keyframes from the full history each iteration (reference
+            # slam_backend.py:783-789) — no fixed window
+            r_slots, r_valid = refine_picks(ki, rand_pool, rand_pool_size, nv)
+            slots = jnp.concatenate([r_slots, jnp.zeros(nvp - nv, jnp.int32)])
+            valids = jnp.concatenate([r_valid, jnp.zeros(nvp - nv, bool)])
+        else:
+            # --- random replay picks (distinct, from the host pool) ---
+            size = jnp.maximum(rand_pool_size, 1)
+            r1 = jax.random.randint(ki, (), 0, size)
+            r2 = jax.random.randint(jax.random.fold_in(ki, 1), (), 0, jnp.maximum(size - 1, 1))
+            r2 = jnp.where(r2 >= r1, r2 + 1, r2) % size
+            rand_slots = jnp.stack([rand_pool[r1], rand_pool[r2]])[:vr]
+            rand_valid = jnp.arange(vr) < jnp.minimum(rand_pool_size, vr)
 
-        slots = jnp.concatenate(
-            [window_slots, rand_slots, jnp.zeros(nvp - nv, jnp.int32)]
-        )
-        valids = jnp.concatenate(
-            [window_valid, rand_valid, jnp.zeros(nvp - nv, bool)]
-        )
+            slots = jnp.concatenate(
+                [window_slots, rand_slots, jnp.zeros(nvp - nv, jnp.int32)]
+            )
+            valids = jnp.concatenate(
+                [window_valid, rand_valid, jnp.zeros(nvp - nv, bool)]
+            )
 
         taps = jnp.zeros((nvp, cap, 2))
         dtaus = jnp.zeros((nvp, 6))
@@ -321,8 +349,9 @@ def map_chunk(
 
         if mesh is None:
             # window-view binning reused across rebin_every iterations;
-            # replay (+pad) views re-bin every iteration (fresh slots)
-            if not cfg.raster.use_oracle and cfg.rebin_every > 1:
+            # replay (+pad) views re-bin every iteration (fresh slots).
+            # Refine mode re-bins everything (all slots are fresh picks).
+            if not cfg.raster.use_oracle and cfg.rebin_every > 1 and not cfg.refine:
                 bins_w = jax.lax.cond(
                     i % cfg.rebin_every == 0,
                     lambda: _window_bins(gmap, store, window_slots, proj, intr, cfg),
@@ -417,6 +446,12 @@ def map_chunk(
             i > step_after, do_step, lambda o: o, (gmap, adam)
         )
 
+        if cfg.refine:
+            # color refinement steps ONLY the map parameters (reference
+            # slam_backend.py:845-855: gaussian optimizer alone; poses and
+            # exposures are fixed)
+            return (gmap, adam, store, pose_adam, loss_val, bins_w)
+
         # --- pose + exposure step for window views ---
         gp = jnp.concatenate([g_taus[:vw], g_exps[:vw]], axis=1)  # (Vw, 8)
         # pose rows masked for non-optimized views; exposure always on
@@ -451,6 +486,7 @@ def map_chunk(
 
     reuse_bins = (
         mesh is None and not cfg.raster.use_oracle and cfg.rebin_every > 1
+        and not cfg.refine
     )
     bins_w0 = (
         _window_bins(gmap, store, window_slots, proj, intr, cfg)

@@ -109,6 +109,21 @@ def _deformed_render(gmap: GaussianMap, cn: ControlNodes, T_cw, t, proj,
     return out, (d_xyz, d_rot, d_scale)
 
 
+def phase_weights(i, num_iters, flow_weight: float,
+                  flow_weight_fine: float | None):
+    """Per-iteration mapping phase switch (reference
+    slam_backend.py:349-356): the first half of the phase (i < iters/2)
+    runs dynamic=True with flow_loss; the second half dynamic=False with
+    flow_loss_fine (falling back to flow_loss when the config lacks it).
+    Returns (dynamic: bool array, flow_w: float array); both may be
+    traced (used inside the chunk fori_loop). Pinned against the literal
+    reference conditions in tests/test_mapping_dynamic.py."""
+    dynamic = i * 2 < num_iters      # i < iters/2 with integer arithmetic
+    fine = flow_weight if flow_weight_fine is None else flow_weight_fine
+    flow_w = jnp.where(dynamic, flow_weight, fine)
+    return dynamic, flow_w
+
+
 class DynChunkResult(NamedTuple):
     gmap: GaussianMap
     adam: AdamState
@@ -119,7 +134,8 @@ class DynChunkResult(NamedTuple):
     final_loss: jax.Array
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg", "flow_weight", "time_interval"))
+@partial(jax.jit, static_argnames=("intr", "cfg", "flow_weight",
+                                   "flow_weight_fine", "time_interval"))
 def map_chunk_dynamic(
     gmap: GaussianMap,
     adam: AdamState,
@@ -142,6 +158,7 @@ def map_chunk_dynamic(
     intr: Intrinsics,
     cfg: MappingConfig = MappingConfig(),
     flow_weight: float = 3.0,
+    flow_weight_fine: float | None = None,
     time_interval: float = 1.0 / 100,
 ) -> DynChunkResult:
     proj = intr.proj()
@@ -165,7 +182,13 @@ def map_chunk_dynamic(
         rand_valid = jnp.arange(vr) < jnp.minimum(rand_pool_size, vr)
         slots = jnp.concatenate([window_slots, rand_slots])
         valids = jnp.concatenate([window_valid, rand_valid])
-        dynamic_phase = i < num_iters // 2  # dynamic upweight first half (:349-356)
+        # mapping phase switch (reference slam_backend.py:349-356): the
+        # first half of the phase runs dynamic=True (x2 dynamic-pixel
+        # upweight) with flow_loss; the second half dynamic=False with
+        # flow_loss_fine (falling back to flow_loss when absent)
+        dynamic_phase, flow_w = phase_weights(
+            i, num_iters, flow_weight, flow_weight_fine
+        )
 
         def loss_fn(params, cn_fp, dtaus, dexps, taps):
             cn_p = cn_merge(cn_fp, cn_valid)
@@ -204,7 +227,7 @@ def map_chunk_dynamic(
                     motion_mask=motion, alpha=cfg.alpha,
                     rgb_boundary_threshold=cfg.rgb_boundary_threshold,
                     rm_dynamic=False,
-                    dynamic=True,
+                    dynamic=dynamic_phase,
                 )
                 total_v = jnp.where(valids[v], l, 0.0)
                 radii_ok = (out.radii > 0) & valids[v]
@@ -240,7 +263,7 @@ def map_chunk_dynamic(
                 )
                 l_f = masked_flow_l1(f21.color[:2], flow_fwd_all[v], ~store.motion[pair_c])
                 total_v = total_v + jnp.where(
-                    valids[v] & has_pair, flow_weight * (l_b + l_f), 0.0
+                    valids[v] & has_pair, flow_w * (l_b + l_f), 0.0
                 )
 
                 ka = jax.random.fold_in(ki, 100 + v)

@@ -182,6 +182,11 @@ class SLAM:
         self.deform_init = False
         self.time_interval = 1.0 / max(self.n_frames, 1)
         self.flow_weight = float(tr.get("flow_loss", 3))
+        # second-half mapping-phase flow weight (reference
+        # slam_backend.py:352-356: flow_loss_fine if present else flow_loss)
+        self.flow_weight_fine = float(
+            tr.get("flow_loss_fine", tr.get("flow_loss", 3))
+        )
         self.flow_cache = None
         if self.dynamic:
             from fourdgs.perception.flow import FlowCache, SyntheticFlowProvider
@@ -388,6 +393,7 @@ class SLAM:
             jnp.int32(self.iteration_count),
             self.intr, self.map_cfg,
             flow_weight=self.flow_weight,
+            flow_weight_fine=self.flow_weight_fine,
             time_interval=self.time_interval,
         )
         self.gmap, self.adam, self.store = res.gmap, res.adam, res.store
@@ -767,8 +773,14 @@ class SLAM:
                 # slam_gui.py:565-585): block between frames while paused
                 viewer.wait_if_paused()
 
+            # forced keyframe exactly at dystart (reference
+            # slam_frontend.py:752 `... or cur_frame_idx == self.dystart`,
+            # applied after the single_thread check_time gate) so
+            # deform/node init happens on the dystart frame, not up to
+            # kf_interval-1 frames later
+            force_dystart = self.dynamic and idx == self.dystart and idx > 0
             check_time = (idx - last_kf) >= self.kf_interval
-            if not check_time:
+            if not (check_time or force_dystart):
                 _pf = time.time()
                 continue
 
@@ -793,7 +805,9 @@ class SLAM:
                 inter = np.count_nonzero(curr_visibility & self.occ_visibility[last_kf])
                 ratio = inter / union if union else 0.0
                 create_kf = check_time and ratio < self.kf_overlap
-            create_kf = check_time and (create_kf or (idx - last_kf) >= 5)
+            create_kf = (
+                check_time and (create_kf or (idx - last_kf) >= 5)
+            ) or force_dystart
             self._phase["kf_check"] += time.time() - _pt
 
             if create_kf:
@@ -843,15 +857,14 @@ class SLAM:
     # ------------------------------------------------------------------
     def color_refinement(self, iterations: int = 1500):
         """Global refinement over random keyframes (reference
-        slam_backend.py:777-858, simplified to the same mapping objective;
-        10 random keyframes per iteration via the replay mechanism)."""
+        slam_backend.py:777-858): every iteration draws
+        `num_window_views + num_random_views` (= 10) DISTINCT random
+        keyframes uniformly from the FULL history (refine_picks inside
+        map_chunk) — late keyframes get the same refinement exposure as
+        early ones."""
         vw = self.map_cfg.num_window_views
         slots = np.zeros(vw, np.int32)
-        valid = np.zeros(vw, bool)
-        kfl = self.kf_indices[:vw]
-        for i, kf in enumerate(kfl):
-            slots[i] = self.kf_slot[kf]
-            valid[i] = True
+        valid = np.zeros(vw, bool)     # ignored in refine mode
         pool = np.asarray([self.kf_slot[k] for k in self.kf_indices], np.int32)
         padded = 1 << max(3, int(np.ceil(np.log2(max(len(pool), 1)))))
         pool_full = np.zeros(padded, np.int32)
@@ -882,7 +895,8 @@ class SLAM:
 
         return evaluate_ate(est, gt)
 
-    def eval_rendering(self, label: str = "final", interval: int | None = None) -> dict:
+    def eval_rendering(self, label: str = "final", interval: int | None = None,
+                       dump_interval: int | None = None) -> dict:
         from fourdgs.eval.rendering import eval_rendering as _er
         from fourdgs.ops.rasterize import rasterize
 
@@ -928,9 +942,12 @@ class SLAM:
             render_at, self.dataset, ids,
             self.save_dir or "/tmp/fourdgs_eval", label,
             mask_dynamic=not self.dynamic,
+            # metric stride: every frame like the reference
+            # (eval_utils.py:320); dump_interval gates image dumps only
             interval=interval or 1,
             dump_images=bool(self.save_dir),
             novel_render_fn=novel_at if self.save_dir else None,
+            dump_interval=dump_interval,
         )
 
     def save_checkpoint(self, path: str):

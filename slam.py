@@ -79,7 +79,9 @@ def main(argv=None):
     if config["Results"].get("eval_rendering", False):
         ate = slam.eval_ate("final")
         Log(f"ATE RMSE: {ate['rmse']:.4f} m", tag="Eval")
-        before = slam.eval_rendering("before_opt", interval=args.interval)
+        # metrics over EVERY frame (reference eval_utils.py:320);
+        # --interval only gates image/novel dumps (save_interval)
+        before = slam.eval_rendering("before_opt", dump_interval=args.interval)
         Log(f"before_opt: {before}", tag="Eval")
         slam.save("final_before_opt")
         slam.color_refinement(
@@ -87,7 +89,7 @@ def main(argv=None):
                 config["Training"].get("refinement_iters", 1500)
             )
         )
-        after = slam.eval_rendering("after_opt", interval=args.interval)
+        after = slam.eval_rendering("after_opt", dump_interval=args.interval)
         Log(f"after_opt: {after}", tag="Eval")
         metrics.update(
             {"ate_rmse": ate["rmse"], "psnr_before": before["mean_psnr"],

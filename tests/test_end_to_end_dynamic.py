@@ -18,8 +18,11 @@ def dyn_slam(tmp_path_factory):
 
     cfg = _synthetic_config(num_frames=15)
     cfg["Dataset"]["dynamic"] = True
-    cfg["Training"]["dystart"] = 5
+    # dystart NOT on the kf_interval grid: exercises the forced keyframe
+    # at dystart (reference slam_frontend.py:752)
+    cfg["Training"]["dystart"] = 7
     cfg["Training"]["flow_loss"] = 3
+    cfg["Training"]["flow_loss_fine"] = 2
     cfg["ModelHiddenParams"] = {"node_num": 64}
     slam = SLAM(
         cfg, save_dir=str(tmp_path_factory.mktemp("dyn_out")),
@@ -33,6 +36,16 @@ def test_dynamic_slam_completes(dyn_slam):
     assert len(dyn_slam.poses_est) == dyn_slam.n_frames
     assert dyn_slam.deform_init, "deformation field never initialized"
     assert int(np.sum(np.asarray(dyn_slam.gmap.dygs & dyn_slam.gmap.alive))) > 20
+
+
+def test_dystart_frame_is_forced_keyframe(dyn_slam):
+    """dystart=7 is off the kf_interval=5 grid; the forced keyframe at
+    dystart (reference slam_frontend.py:752) must make frame 7 a KF and
+    deform init must land exactly there."""
+    assert 7 in dyn_slam.kf_indices, dyn_slam.kf_indices
+    # no keyframe ON the dystart frame had a chance before it: deform
+    # node init fires during its keyframe handling
+    assert dyn_slam.deform_init
 
 
 def test_dynamic_slam_ate(dyn_slam):

@@ -192,3 +192,39 @@ def test_map_chunk_xyz_lr_schedule():
         np.asarray(res_hi.gmap.params.opacity),
         np.asarray(res_lo.gmap.params.opacity), atol=1e-7,
     )
+
+
+def test_refine_picks_uniform_over_history():
+    """color_refinement view sampling must reach late keyframes uniformly
+    (reference slam_backend.py:783-789 pops 10 random keyframes from the
+    FULL history each iteration — not a fixed early window)."""
+    from fourdgs.slam.mapping import refine_picks
+
+    pool = jnp.asarray(np.arange(100, 140, dtype=np.int32))  # 40 keyframes
+    pool = jnp.pad(pool, (0, 24))                            # padded tail
+    size = jnp.int32(40)
+    counts = np.zeros(64, np.int64)
+    nv = 10
+    n_iter = 400
+    rp = jax.jit(refine_picks, static_argnums=3)
+    for i in range(n_iter):
+        slots, valids = rp(jax.random.key(i), pool, size, nv)
+        s = np.asarray(slots)[np.asarray(valids)]
+        assert len(set(s.tolist())) == nv        # distinct picks
+        assert ((s >= 100) & (s < 140)).all()    # only valid pool entries
+        np.add.at(counts, s - 100, 1)
+    sel = counts[:40]
+    expected = n_iter * nv / 40
+    # every keyframe (early AND late) selected within 3 sigma of uniform
+    sigma = np.sqrt(expected * (1 - nv / 40))
+    assert sel.min() > expected - 4 * sigma, sel
+    assert sel.max() < expected + 4 * sigma, sel
+
+
+def test_refine_picks_small_pool():
+    from fourdgs.slam.mapping import refine_picks
+
+    pool = jnp.asarray(np.array([3, 7, 0, 0, 0, 0, 0, 0], np.int32))
+    slots, valids = refine_picks(jax.random.key(0), pool, jnp.int32(2), 10)
+    s = np.asarray(slots)[np.asarray(valids)]
+    assert sorted(s.tolist()) == [3, 7]
