@@ -147,7 +147,7 @@ def rasterize(
         bins.tile_count,
         bins.tile_start,
         bins.aligned_start,
-        (bins.bygid_aligned, bins.gid_start, bins.gid_count),
+        bins.cand_aligned,
         tx_n,
         ty_n,
         config.tile,
@@ -163,9 +163,7 @@ def rasterize(
     if config.with_n_touched:
         nt = reduce_aligned_by_gaussian(
             jax.lax.stop_gradient(nt_t)[:, None],
-            bins.bygid_aligned,
-            bins.gid_start,
-            bins.gid_count,
+            bins.cand_aligned,
         )[:n, 0].astype(jnp.int32)
     else:
         nt = jnp.zeros((n,), jnp.int32)
@@ -346,7 +344,7 @@ def rasterize_multi(
     means3d: jax.Array,     # (N, 3) shared or (V, N, 3) per-view (deformed)
     scales: jax.Array,      # (N, 3) or (V, N, 3)
     quats: jax.Array,       # (N, 4) or (V, N, 4)
-    opacities: jax.Array,   # (N,) shared
+    opacities: jax.Array,   # (N,) shared or (V, N) per-view
     colors: jax.Array,      # (N, 3) shared or (V, N, 3) per-view payloads
     alive: jax.Array,       # (N,) shared
     T_cws: jax.Array,       # (V, 4, 4)
@@ -378,25 +376,27 @@ def rasterize_multi(
     if config.use_oracle:
         # pure-jnp compositor (tests / tiny scenes): vmap the whole render
         return jax.vmap(
-            lambda m, s, q, c, T, off: rasterize(
-                m, s, q, opacities, c, alive, T, proj, bg,
+            lambda m, s, q, o, c, T, off: rasterize(
+                m, s, q, o, c, alive, T, proj, bg,
                 fx=fx, fy=fy, width=width, height=height,
                 tan_fovx=tan_fovx, tan_fovy=tan_fovy,
                 scale_mod=scale_mod, mean2d_offset=off, config=config,
             ),
             in_axes=(ax(means3d, 3), ax(scales, 3), ax(quats, 3),
-                     ax(colors, 3), 0, None if mean2d_offsets is None else 0),
-        )(means3d, scales, quats, colors, T_cws, mean2d_offsets)
+                     ax(opacities, 2), ax(colors, 3), 0,
+                     None if mean2d_offsets is None else 0),
+        )(means3d, scales, quats, opacities, colors, T_cws, mean2d_offsets)
     pp = jax.vmap(
-        lambda m, s, q, c, T: preprocess(
-            m, s, q, opacities, c, alive, T, proj,
+        lambda m, s, q, o, c, T: preprocess(
+            m, s, q, o, c, alive, T, proj,
             fx=fx, fy=fy, width=width, height=height,
             tan_fovx=tan_fovx, tan_fovy=tan_fovy,
             scale_mod=scale_mod, max_radius=config.max_radius,
         ),
-        in_axes=(ax(means3d, 3), ax(scales, 3), ax(quats, 3), ax(colors, 3), 0),
+        in_axes=(ax(means3d, 3), ax(scales, 3), ax(quats, 3),
+                 ax(opacities, 2), ax(colors, 3), 0),
     )
-    sg = pp(means3d, scales, quats, colors, T_cws)
+    sg = pp(means3d, scales, quats, opacities, colors, T_cws)
     if mean2d_offsets is not None:
         sg = sg._replace(mean2d=sg.mean2d + mean2d_offsets)
 
@@ -431,7 +431,7 @@ def rasterize_multi(
         fields_geo, fields_app,
         bins.aligned_gid, bins.chunk_tile, bins.chunk_first, bins.chunk_last,
         bins.tile_count, bins.tile_start, bins.aligned_start,
-        (bins.bygid_aligned, bins.gid_start, bins.gid_count),
+        bins.cand_aligned,
         tx_n, ty_n, config.tile, width, height,
     )
 
@@ -445,10 +445,10 @@ def rasterize_multi(
 
     if config.with_n_touched:
         nt = jax.vmap(
-            lambda ntv, ba, gs, gc: reduce_aligned_by_gaussian(
-                jax.lax.stop_gradient(ntv)[:, None], ba, gs, gc,
+            lambda ntv, ca: reduce_aligned_by_gaussian(
+                jax.lax.stop_gradient(ntv)[:, None], ca,
             )[:n, 0].astype(jnp.int32)
-        )(nt_t, bins.bygid_aligned, bins.gid_start, bins.gid_count)
+        )(nt_t, bins.cand_aligned)
     else:
         nt = jnp.zeros((v, n), jnp.int32)
 

@@ -48,6 +48,10 @@ class TileBins(NamedTuple):
     bygid_perm: jax.Array   # (P,) int32: pair-buffer positions grouped by gaussian id
     gid_start: jax.Array    # (N+1,) int32: first by-gid position per gaussian
     gid_count: jax.Array    # (N+1,) int32: pairs per gaussian
+    cand_aligned: jax.Array  # (N+1, max_rect) int32 aligned slot of each
+    #                          candidate pair per gaussian (-1 = none) —
+    #                          precomputed here so the per-iteration
+    #                          backward reduction needs NO index gather
     # --- CSR chunk layout (flat chunk-grid compositor) ---
     # Pairs re-laid-out so every tile's segment starts on a CHUNK
     # boundary; the kernel grid is one program per CHUNK of real pairs
@@ -204,6 +208,22 @@ def bin_gaussians(
     )
     bygid_aligned = aligned_pos[bygid_perm]
 
+    # per-gaussian candidate -> aligned-slot table: gaussian g's pairs
+    # occupy contiguous by-gid positions [offsets[g], offsets[g]+touched[g])
+    # and touched <= max_rect, so this is the ONLY index gather the
+    # backward per-gaussian reduction needs — done once per (re)binning
+    # instead of in every backward pass (it profiled at ~3.5 ms/iteration
+    # inside the tracking loop)
+    krange = jnp.arange(max_rect, dtype=jnp.int32)
+    pos = jnp.minimum(
+        gid_start[:, None] + krange[None, :], max_pairs - 1
+    )                                                        # (N+1, R)
+    cand_aligned = jnp.where(
+        krange[None, :] < gid_count[:, None],
+        bygid_aligned[pos],
+        -1,
+    )
+
     return TileBins(
         pair_gid=pair_gid,
         pair_tile=pair_tile,
@@ -217,6 +237,7 @@ def bin_gaussians(
         bygid_perm=bygid_perm,
         gid_start=gid_start,
         gid_count=gid_count,
+        cand_aligned=cand_aligned,
         aligned_gid=aligned_gid,
         aligned_start=aligned_start,
         chunk_tile=chunk_tile,

@@ -437,26 +437,26 @@ def _csr_bwd_impl(pairs, bounds, t_final_rows, chunk_tile, chunk_last,
 
 def reduce_aligned_by_gaussian(
     values_rows: jax.Array,     # (P, F) per-ALIGNED-slot values
-    bygid_aligned: jax.Array,   # (P,) aligned slot per by-gid pair (-1 pad)
-    gid_start: jax.Array,       # (N+1,)
-    gid_count: jax.Array,       # (N+1,)
+    cand_aligned: jax.Array,    # (N+1, R) aligned slot per candidate (-1 none)
 ) -> jax.Array:
     """Per-gaussian sums of per-aligned-slot values: ONE row gather
-    through the binner's precomputed by-gid -> aligned map, a cumsum, and
-    boundary gathers (no scatter). Returns (N+1, F)."""
-    max_pairs = bygid_aligned.shape[0]
-    safe = jnp.maximum(bygid_aligned, 0)
-    values_rows, safe = jax.lax.optimization_barrier((values_rows, safe))
-    vals = values_rows[safe] * (
-        bygid_aligned >= 0
-    ).astype(values_rows.dtype)[:, None]
-    csum = jnp.cumsum(vals, axis=0)
-    z = jnp.concatenate(
-        [jnp.zeros((1, values_rows.shape[1]), values_rows.dtype), csum], axis=0
+    through the binner's precomputed per-gaussian candidate->aligned-slot
+    table (TileBins.cand_aligned) + a masked sum over the rect axis — no
+    global cumsum (an axis-0 cumsum over (P, F) keeps only F of 128
+    lanes busy, ~3 ms at production shapes), no per-iteration index
+    gather (precomputed at binning), and no scatter (the CUDA reference
+    needs block-reduce + atomicAdd here, backward.cu:759-784). The row
+    gather is optimization_barrier-isolated on both sides: fused into
+    producers/consumers XLA lowers it to a scalar-indexed emitter.
+    Returns (N+1, F)."""
+    max_pairs = values_rows.shape[0]
+    valid = cand_aligned >= 0
+    vr_b, slot_b = jax.lax.optimization_barrier(
+        (values_rows, jnp.clip(cand_aligned, 0, max_pairs - 1))
     )
-    starts = jnp.minimum(gid_start, max_pairs)
-    ends = jnp.minimum(gid_start + gid_count, max_pairs)
-    return z[ends] - z[starts]
+    rows = jax.lax.optimization_barrier(vr_b[slot_b])       # (N+1, R, F)
+    rows = rows * valid.astype(values_rows.dtype)[:, :, None]
+    return jnp.sum(rows, axis=1)
 
 
 def _csr_gather_pairs(fields_geo, fields_app, aligned_gid):
@@ -495,13 +495,13 @@ def _ccsr_impl(fields_geo, fields_app, bins_csr, tx_n, ty_n, tile,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
 def composite_csr(
     fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first, chunk_last,
-    tile_count, tile_start, aligned_start, pt_bygid,
+    tile_count, tile_start, aligned_start, cand_aligned,
     tx_n, ty_n, tile, img_w, img_h,
 ):
     """CSR chunk-grid compositor. fields (N+1, 6)/(N+1, 4) + TileBins CSR
     arrays -> (color (T, npix, 3), depth (T, npix), T_final (T, npix),
-    n_touched (P,) per aligned slot). `pt_bygid` packs
-    (bygid_aligned, gid_start, gid_count) for the backward
+    n_touched (P,) per aligned slot). `cand_aligned` is the binner's
+    per-gaussian candidate->aligned-slot table for the backward
     reduction."""
     return _ccsr_impl(
         fields_geo, fields_app,
@@ -511,7 +511,7 @@ def composite_csr(
 
 
 def _ccsr_fwd(fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first,
-              chunk_last, tile_count, tile_start, aligned_start, pt_bygid,
+              chunk_last, tile_count, tile_start, aligned_start, cand_aligned,
               tx_n, ty_n, tile, img_w, img_h):
     outs, (pairs, bounds, t_final) = _ccsr_impl(
         fields_geo, fields_app,
@@ -519,14 +519,13 @@ def _ccsr_fwd(fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first,
         tx_n, ty_n, tile, img_w, img_h,
     )
     res = (pairs, bounds, t_final, chunk_tile, chunk_last,
-           tile_start, aligned_start, pt_bygid)
+           tile_start, aligned_start, cand_aligned)
     return outs, res
 
 
 def _ccsr_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
     (pairs, bounds, t_final, chunk_tile, chunk_last,
-     tile_start, aligned_start, pt_bygid) = res
-    bygid_aligned, gid_start, gid_count = pt_bygid
+     tile_start, aligned_start, cand_aligned) = res
     g_color, g_depth, g_tf, _g_nt = g
     dpairs = _csr_bwd_impl(
         pairs, bounds, t_final, chunk_tile, chunk_last,
@@ -535,12 +534,8 @@ def _ccsr_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
         tiles_per_view=tx_n * ty_n,
     )
     drows = dpairs.T   # (P, FIELDS)
-    g_geo = reduce_aligned_by_gaussian(
-        drows[:, :NUM_GEO], bygid_aligned, gid_start, gid_count,
-    )
-    g_app = reduce_aligned_by_gaussian(
-        drows[:, NUM_GEO:], bygid_aligned, gid_start, gid_count,
-    )
+    g_geo = reduce_aligned_by_gaussian(drows[:, :NUM_GEO], cand_aligned)
+    g_app = reduce_aligned_by_gaussian(drows[:, NUM_GEO:], cand_aligned)
     return (g_geo, g_app, None, None, None, None, None, None, None, None)
 
 
@@ -560,7 +555,13 @@ def _ccsrm_impl(fields_geo, fields_app, bins_csr, tx_n, ty_n, tile,
     )
     voff = jnp.arange(v, dtype=jnp.int32)[:, None]
     gid_g = (aligned_gid + voff * np1).reshape(-1)
-    pairs = rows[gid_g].T                                    # (F, V*P)
+    # barrier-isolated gather (fused with the concat/transpose it lowers
+    # to the scalar-indexed emitter — see reduce_aligned_by_gaussian)
+    rows_b, gid_b = jax.lax.optimization_barrier(
+        (rows, gid_g.reshape(-1, 128))
+    )
+    gath = jax.lax.optimization_barrier(rows_b[gid_b])
+    pairs = gath.reshape(gid_g.shape[0], NUM_FIELDS).T       # (F, V*P)
     ct_g = jnp.where(
         chunk_tile < t_per_view, chunk_tile + voff * t_per_view,
         v * t_per_view,
@@ -587,7 +588,7 @@ def _ccsrm_impl(fields_geo, fields_app, bins_csr, tx_n, ty_n, tile,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
 def composite_csr_multi(
     fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first, chunk_last,
-    tile_count, tile_start, aligned_start, pt_bygid,
+    tile_count, tile_start, aligned_start, cand_aligned,
     tx_n, ty_n, tile, img_w, img_h,
 ):
     """Batched CSR compositor: leading V axis on every array; one kernel
@@ -602,7 +603,7 @@ def composite_csr_multi(
 
 
 def _ccsrm_fwd(fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first,
-               chunk_last, tile_count, tile_start, aligned_start, pt_bygid,
+               chunk_last, tile_count, tile_start, aligned_start, cand_aligned,
                tx_n, ty_n, tile, img_w, img_h):
     outs, (pairs, bounds, t_final, ct_g) = _ccsrm_impl(
         fields_geo, fields_app,
@@ -610,14 +611,13 @@ def _ccsrm_fwd(fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first,
         tx_n, ty_n, tile, img_w, img_h,
     )
     res = (pairs, bounds, t_final, ct_g, chunk_last,
-           tile_start, aligned_start, pt_bygid)
+           tile_start, aligned_start, cand_aligned)
     return outs, res
 
 
 def _ccsrm_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
     (pairs, bounds, t_final, ct_g, chunk_last,
-     tile_start, aligned_start, pt_bygid) = res
-    bygid_aligned, gid_start, gid_count = pt_bygid
+     tile_start, aligned_start, cand_aligned) = res
     g_color, g_depth, g_tf, _g_nt = g
     v, t_per_view = g_color.shape[0], g_color.shape[1]
     flat = lambda a: a.reshape((v * t_per_view,) + a.shape[2:])
@@ -627,14 +627,14 @@ def _ccsrm_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
         tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h,
         tiles_per_view=t_per_view,
     )
-    p = bygid_aligned.shape[1]
+    p = dpairs.shape[1] // v
     drows = dpairs.T.reshape(v, p, NUM_FIELDS)
     g_geo, g_app = jax.vmap(
-        lambda rows, ba, gs, gc: (
-            reduce_aligned_by_gaussian(rows[:, :NUM_GEO], ba, gs, gc),
-            reduce_aligned_by_gaussian(rows[:, NUM_GEO:], ba, gs, gc),
+        lambda rows, ca: (
+            reduce_aligned_by_gaussian(rows[:, :NUM_GEO], ca),
+            reduce_aligned_by_gaussian(rows[:, NUM_GEO:], ca),
         )
-    )(drows, bygid_aligned, gid_start, gid_count)
+    )(drows, cand_aligned)
     return (g_geo, g_app, None, None, None, None, None, None, None, None)
 
 

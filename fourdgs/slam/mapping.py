@@ -311,8 +311,8 @@ def map_chunk(
         ]
     )
 
-    def body(i, state):
-        gmap, adam, store, pose_adam, _, _ = state
+    def body(i, state, bins_w):
+        gmap, adam, store, pose_adam, _ = state
         ki = jax.random.fold_in(key, i)
 
         if cfg.refine:
@@ -348,15 +348,12 @@ def map_chunk(
             )
 
         if mesh is None:
-            # window-view binning reused across rebin_every iterations;
-            # replay (+pad) views re-bin every iteration (fresh slots).
-            # Refine mode re-bins everything (all slots are fresh picks).
-            if not cfg.raster.use_oracle and cfg.rebin_every > 1 and not cfg.refine:
-                bins_w = jax.lax.cond(
-                    i % cfg.rebin_every == 0,
-                    lambda: _window_bins(gmap, store, window_slots, proj, intr, cfg),
-                    lambda: state[-1],
-                )
+            # window-view binning reused within a round (computed at the
+            # round top, closed over — NOT loop-carried, so no per-
+            # iteration copies); replay (+pad) views re-bin every
+            # iteration (fresh slots). Refine mode re-bins everything
+            # (all slots are fresh picks).
+            if bins_w is not None:
                 bins_r = _window_bins(
                     gmap, store, slots[vw:], proj, intr, cfg
                 )
@@ -364,7 +361,6 @@ def map_chunk(
                     lambda a, b: jnp.concatenate([a, b]), bins_w, bins_r
                 )
             else:
-                bins_w = state[-1]   # placeholder carry (unused)
                 bins = None
 
             def loss_fn(params, dtaus, dexps, taps):
@@ -384,7 +380,6 @@ def map_chunk(
             # renders nvp/ndev views and backprops them; param-grads and the
             # scalar loss are psum'd, per-view grads stay sharded.
             # (binning stays exact per-iteration on the mesh path)
-            bins_w = state[-1]
             ax = mesh.axis_names[0]
 
             def shard_fn(slots_l, valids_l, dtaus_l, dexps_l, taps_l, ems_l):
@@ -450,7 +445,7 @@ def map_chunk(
             # color refinement steps ONLY the map parameters (reference
             # slam_backend.py:845-855: gaussian optimizer alone; poses and
             # exposures are fixed)
-            return (gmap, adam, store, pose_adam, loss_val, bins_w)
+            return (gmap, adam, store, pose_adam, loss_val)
 
         # --- pose + exposure step for window views ---
         gp = jnp.concatenate([g_taus[:vw], g_exps[:vw]], axis=1)  # (Vw, 8)
@@ -482,20 +477,43 @@ def map_chunk(
         )
         pose_adam = PoseAdam(mu=mu, nu=nu, count=count)
 
-        return (gmap, adam, store, pose_adam, loss_val, bins_w)
+        return (gmap, adam, store, pose_adam, loss_val)
 
+    # Two-level loop: the OUTER fori runs rounds of rebin_every
+    # iterations; window-view binning is computed unconditionally at the
+    # round top and closed over by the inner fori — never loop-carried,
+    # so no per-iteration copies of the multi-MB bins arrays. Iterations
+    # past num_iters in the final round take a cheap identity branch.
     reuse_bins = (
         mesh is None and not cfg.raster.use_oracle and cfg.rebin_every > 1
         and not cfg.refine
     )
-    bins_w0 = (
-        _window_bins(gmap, store, window_slots, proj, intr, cfg)
-        if reuse_bins else jnp.zeros((0,))
-    )
-    init = (gmap, adam, store, pose_adam, jnp.asarray(jnp.inf, jnp.float32),
-            bins_w0)
-    gmap, adam, store, pose_adam, loss_val, _ = jax.lax.fori_loop(
-        0, num_iters, body, init
+    rb = max(cfg.rebin_every, 1) if reuse_bins else 1
+    n_rounds = -(-num_iters // rb) if reuse_bins else num_iters
+
+    def round_body(r, state):
+        if reuse_bins:
+            bins_w = _window_bins(state[0], state[2], window_slots, proj,
+                                  intr, cfg)
+        else:
+            bins_w = None
+
+        def inner(j, st):
+            i = r * rb + j
+            return jax.lax.cond(
+                i < num_iters,
+                lambda s: body(i, s, bins_w),
+                lambda s: s,
+                st,
+            )
+
+        if rb == 1:
+            return body(r, state, bins_w)
+        return jax.lax.fori_loop(0, rb, inner, state)
+
+    init = (gmap, adam, store, pose_adam, jnp.asarray(jnp.inf, jnp.float32))
+    gmap, adam, store, pose_adam, loss_val = jax.lax.fori_loop(
+        0, n_rounds, round_body, init
     )
     return MapChunkResult(
         gmap=gmap, adam=adam, store=store, pose_adam=pose_adam, final_loss=loss_val

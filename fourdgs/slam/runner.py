@@ -221,7 +221,14 @@ class SLAM:
         self.iteration_count = 0
         self.median_depth = 2.0
         self.rng = np.random.default_rng(0)
-        self.initialized = False
+        # RGB-D starts initialized (reference slam_backend.py:78,151
+        # `self.initialized = not self.monocular`): the 300-iteration
+        # "initial BA" at window-fill is a MONOCULAR-only recovery path —
+        # in RGB-D mode every keyframe runs the standard 200-iteration
+        # mapping phase from the start (slam_backend.py:996-998 hardcodes
+        # map(iters=200); the iter_per_kf=300 branch at :943-951 is dead
+        # when initialized is True)
+        self.initialized = not self.monocular
         self.metrics: dict = {}
         self._wandb = None
         if config.get("Results", {}).get("use_wandb", False):
@@ -395,6 +402,7 @@ class SLAM:
             flow_weight=self.flow_weight,
             flow_weight_fine=self.flow_weight_fine,
             time_interval=self.time_interval,
+            mesh=self.mesh,
         )
         self.gmap, self.adam, self.store = res.gmap, res.adam, res.store
         self.deform, self.deform_adam = res.deform, res.deform_adam

@@ -152,17 +152,18 @@ def track_frame(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def body(state):
-        T_cw, exp_ab, mu, nu, count, _, _, bins, last_tau = state
-        if config.rebin_every > 1:
-            bins = jax.lax.cond(
-                (count % config.rebin_every == 0)
-                | (last_tau > config.rebin_delta_threshold),
-                lambda: bins_at(T_cw),
-                lambda: bins,
-            )
-        else:
-            bins = bins_at(T_cw)
+    # Two-level loop: the OUTER while_loop runs one "round" of
+    # rebin_every iterations; tile binning is computed unconditionally at
+    # round start and closed over by the inner fori_loop — it is NOT
+    # loop-carried state, so no per-iteration lax.cond copies of the
+    # multi-MB bins arrays (measured ~1 ms/iteration as carried state).
+    # Convergence still exits at iteration granularity: converged
+    # iterations inside a round take the identity branch (at most
+    # rebin_every-1 cheap copies per frame, once). The large-step re-bin
+    # safeguard (rebin_delta_threshold) acts at round granularity.
+    rb = max(config.rebin_every, 1)
+
+    def iter_body(T_cw, exp_ab, mu, nu, count, bins):
         delta0 = jnp.concatenate([jnp.zeros(6), exp_ab])
         (loss_val, _), g = grad_fn(delta0, T_cw, bins)
         count = count + 1
@@ -173,8 +174,25 @@ def track_frame(
         exp_new = exp_ab + upd[6:8]
         tau_norm = jnp.linalg.norm(tau)
         converged = tau_norm < config.converged_threshold
-        return (T_new, exp_new, mu, nu, count, converged, loss_val, bins,
-                tau_norm)
+        # large applied step: cut the round short so the next round
+        # re-bins immediately (rebin_delta_threshold safeguard)
+        stale = tau_norm > config.rebin_delta_threshold
+        return (T_new, exp_new, mu, nu, count, converged, loss_val, stale)
+
+    def round_body(state):
+        state = state[:7] + (jnp.asarray(False),)   # fresh bins: not stale
+        # (the oracle compositor has no binning stage)
+        bins = None if config.raster.use_oracle else bins_at(state[0])
+
+        def inner(j, st):
+            return jax.lax.cond(
+                (~st[5]) & (~st[7]) & (st[4] < config.max_iters),
+                lambda s: iter_body(s[0], s[1], s[2], s[3], s[4], bins),
+                lambda s: s,
+                st,
+            )
+
+        return jax.lax.fori_loop(0, rb, inner, state)
 
     def cond(state):
         return (state[4] < config.max_iters) & ~state[5]
@@ -187,11 +205,10 @@ def track_frame(
         jnp.zeros((), jnp.int32),
         jnp.asarray(False),
         jnp.asarray(jnp.inf, jnp.float32),
-        bins_at(T_init),
-        jnp.zeros((), jnp.float32),
+        jnp.asarray(False),
     )
-    T_cw, exp_ab, _, _, count, _, loss_val, _, _ = jax.lax.while_loop(
-        cond, body, init
+    T_cw, exp_ab, _, _, count, _, loss_val, _ = jax.lax.while_loop(
+        cond, round_body, init
     )
 
     out = render_at(T_cw)

@@ -1,9 +1,8 @@
-"""Tracking-loop wall time on the real TPU at production shapes."""
+"""Op-level trace of the tracking loop on the real TPU."""
 from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -14,6 +13,8 @@ enable_compile_cache()
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from scripts.trace_summary import profile_top_ops
 
 
 def main():
@@ -43,25 +44,17 @@ def main():
     dep = jnp.full((intr.height, intr.width), 2.5, jnp.float32)
     frame = make_frame(0, img, dep, jnp.eye(4), time=0.0)
 
-    for rebin in (8, 1):
-        cfg = TrackingConfig(
-            max_iters=100, rebin_every=rebin,
-            converged_threshold=0.0,  # force full 100 iters
-            raster=RasterConfig(with_n_touched=False),
-        )
-        t0 = time.perf_counter()
-        res = track_frame(gmap, frame, jnp.eye(4), jnp.zeros(2), intr, cfg)
-        jax.block_until_ready(res.T_cw)
-        print(f"rebin={rebin} compile+run: {time.perf_counter() - t0:.1f}s")
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            res = track_frame(gmap, frame, jnp.eye(4), jnp.zeros(2), intr, cfg)
-            jax.block_until_ready(res.T_cw)
-            times.append(time.perf_counter() - t0)
-        dt = min(times) * 1000
-        print(f"rebin={rebin}: track 100 iters {dt:.0f} ms -> {dt/100:.2f} ms/iter"
-              f" (iters run: {int(res.n_iters)})")
+    cfg = TrackingConfig(
+        max_iters=100, rebin_every=8,
+        converged_threshold=0.0,
+        raster=RasterConfig(with_n_touched=False),
+    )
+    res = track_frame(gmap, frame, jnp.eye(4), jnp.zeros(2), intr, cfg)
+    jax.block_until_ready(res.T_cw)
+    profile_top_ops(
+        lambda: track_frame(gmap, frame, jnp.eye(4), jnp.zeros(2), intr, cfg),
+        n=2, top=30,
+    )
 
 
 if __name__ == "__main__":
