@@ -120,6 +120,7 @@ def rasterize(
             max_rect=config.max_rect,
             max_pairs=config.max_pairs,
             tile_cap=config.tile_cap,
+            opacity=jax.lax.stop_gradient(sg.opacity),
         )
 
     n = means3d.shape[0]
@@ -155,9 +156,13 @@ def rasterize(
         height,
     )
 
-    color = _assemble_image(color_t, tx_n, ty_n, config.tile, width, height)
-    depth = _assemble_image(depth_t, tx_n, ty_n, config.tile, width, height)
-    t_final = _assemble_image(tf_t, tx_n, ty_n, config.tile, width, height)
+    # single 5-channel tile->image assembly (3 separate assembles cost
+    # ~3 transpose copies each)
+    cdt = jnp.concatenate(
+        [color_t, depth_t[..., None], tf_t[..., None]], axis=-1
+    )
+    img5 = _assemble_image(cdt, tx_n, ty_n, config.tile, width, height)
+    color, depth, t_final = img5[:3], img5[3], img5[4]
     color = color + t_final[None] * bg[:, None, None]
 
     if config.with_n_touched:
@@ -256,6 +261,7 @@ def compute_bins(
     alive: jax.Array,
     T_cw: jax.Array,
     proj: jax.Array,
+    opacities: jax.Array | None = None,
     *,
     fx: float,
     fy: float,
@@ -269,10 +275,14 @@ def compute_bins(
     """Standalone tile binning at a given pose — for reuse across nearby
     render calls (tracking iterations between re-bins). Forward-only:
     everything is under stop_gradient."""
+    op = (
+        jnp.ones(means3d.shape[0]) if opacities is None
+        else jax.lax.stop_gradient(opacities)
+    )
     sg = preprocess(
         jax.lax.stop_gradient(means3d), jax.lax.stop_gradient(scales),
         jax.lax.stop_gradient(quats),
-        jnp.ones(means3d.shape[0]),   # opacity irrelevant for binning
+        op,
         jnp.zeros((means3d.shape[0], 3)),
         alive, jax.lax.stop_gradient(T_cw), proj,
         fx=fx, fy=fy, width=width, height=height,
@@ -283,7 +293,7 @@ def compute_bins(
         sg.mean2d, sg.depth, sg.radius, sg.visible,
         width=width, height=height, tile=config.tile,
         max_rect=config.max_rect, max_pairs=config.max_pairs,
-        tile_cap=config.tile_cap,
+        tile_cap=config.tile_cap, opacity=sg.opacity,
     )
 
 
@@ -298,6 +308,7 @@ def compute_bins_multi(
     alive: jax.Array,
     T_cws: jax.Array,       # (V, 4, 4)
     proj: jax.Array,
+    opacities: jax.Array | None = None,  # (N,) or (V, N)
     *,
     fx: float,
     fy: float,
@@ -312,27 +323,32 @@ def compute_bins_multi(
     reusable part of `rasterize_multi` for mapping-iteration bins
     reuse."""
     ax = lambda a, nd: 0 if a.ndim == nd else None
+    op = (
+        jnp.ones(means3d.shape[-2]) if opacities is None
+        else jax.lax.stop_gradient(opacities)
+    )
     sgs = jax.vmap(
-        lambda m, s, q, T: preprocess(
+        lambda m, s, q, o, T: preprocess(
             jax.lax.stop_gradient(m), jax.lax.stop_gradient(s),
             jax.lax.stop_gradient(q),
-            jnp.ones(means3d.shape[-2]),
+            o,
             jnp.zeros((means3d.shape[-2], 3)),
             alive, jax.lax.stop_gradient(T), proj,
             fx=fx, fy=fy, width=width, height=height,
             tan_fovx=tan_fovx, tan_fovy=tan_fovy,
             scale_mod=scale_mod, max_radius=config.max_radius,
         ),
-        in_axes=(ax(means3d, 3), ax(scales, 3), ax(quats, 3), 0),
-    )(means3d, scales, quats, T_cws)
+        in_axes=(ax(means3d, 3), ax(scales, 3), ax(quats, 3),
+                 ax(op, 2), 0),
+    )(means3d, scales, quats, op, T_cws)
     return jax.lax.map(
         lambda args: bin_gaussians(
             args[0], args[1], args[2], args[3],
             width=width, height=height, tile=config.tile,
             max_rect=config.max_rect, max_pairs=config.max_pairs,
-            tile_cap=config.tile_cap,
+            tile_cap=config.tile_cap, opacity=args[4],
         ),
-        (sgs.mean2d, sgs.depth, sgs.radius, sgs.visible),
+        (sgs.mean2d, sgs.depth, sgs.radius, sgs.visible, sgs.opacity),
     )
 
 
@@ -409,12 +425,13 @@ def rasterize_multi(
                 args[0], args[1], args[2], args[3],
                 width=width, height=height, tile=config.tile,
                 max_rect=config.max_rect, max_pairs=config.max_pairs,
-                tile_cap=config.tile_cap,
+                tile_cap=config.tile_cap, opacity=args[4],
             ),
             (
                 jax.lax.stop_gradient(sg.mean2d),
                 jax.lax.stop_gradient(sg.depth),
                 sg.radius, sg.visible,
+                jax.lax.stop_gradient(sg.opacity),
             ),
         )
 
@@ -438,9 +455,11 @@ def rasterize_multi(
     asm = jax.vmap(
         lambda t: _assemble_image(t, tx_n, ty_n, config.tile, width, height)
     )
-    color = asm(color_t)
-    depth = asm(depth_t)
-    t_final = asm(tf_t)
+    cdt = jnp.concatenate(
+        [color_t, depth_t[..., None], tf_t[..., None]], axis=-1
+    )
+    img5 = asm(cdt)
+    color, depth, t_final = img5[:, :3], img5[:, 3], img5[:, 4]
     color = color + t_final[:, None] * bg[None, :, None, None]
 
     if config.with_n_touched:

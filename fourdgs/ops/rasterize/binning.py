@@ -86,6 +86,7 @@ def bin_gaussians(
     max_rect: int = 16,
     max_pairs: int = 1 << 18,
     tile_cap: int = 1024,
+    opacity: jax.Array | None = None,
 ) -> TileBins:
     # the CSR compositor walks the pair buffer CHUNK*SUBS slots per grid
     # program (tile_kernel.py: c_max // SUBS); a non-multiple max_pairs
@@ -108,9 +109,8 @@ def bin_gaussians(
     ty1 = jnp.clip(jnp.floor((my + r + tile - 1) / tile), 0, ty_n).astype(jnp.int32)
 
     rect_w = tx1 - tx0
-    touched = jnp.where(visible, rect_w * (ty1 - ty0), 0)
-    touched = jnp.minimum(touched, max_rect)
-    num_pairs = jnp.sum(touched)
+    touched_rect = jnp.where(visible, rect_w * (ty1 - ty0), 0)
+    touched_rect = jnp.minimum(touched_rect, max_rect)
 
     # (N, max_rect) candidate expansion; invalid slots key past every tile
     slot = jnp.arange(max_rect, dtype=jnp.int32)[None, :]
@@ -118,7 +118,29 @@ def bin_gaussians(
     d_ty = slot // safe_w
     d_tx = slot - d_ty * safe_w
     cand_tile = (ty0[:, None] + d_ty) * tx_n + (tx0[:, None] + d_tx)
-    cand_ok = slot < touched[:, None]
+    cand_ok = slot < touched_rect[:, None]
+
+    if opacity is not None:
+        # opacity-aware per-tile culling (EQUIVALENCE-preserving): the
+        # compositor zeroes contributions with alpha < ALPHA_MIN
+        # (forward.cu:355 semantics), and alpha <= op * exp(-4.5 d^2/r^2)
+        # everywhere (lambda_min(conic) = 1/lambda_max(cov) = 9/r^2 at
+        # the 3-sigma radius), so a candidate tile whose NEAREST pixel to
+        # the mean lies beyond d_max = r * sqrt(ln(255 op)/4.5)
+        # contributes exactly zero — drop the pair before it ever hits
+        # the sort/kernel/backward. The CUDA reference streams these dead
+        # rect-corner pairs through its whole pipeline.
+        tlo_x = ((tx0[:, None] + d_tx) * tile).astype(mx.dtype)
+        tlo_y = ((ty0[:, None] + d_ty) * tile).astype(mx.dtype)
+        nx = jnp.clip(mx[:, None], tlo_x, tlo_x + (tile - 1))
+        ny = jnp.clip(my[:, None], tlo_y, tlo_y + (tile - 1))
+        d2 = (mx[:, None] - nx) ** 2 + (my[:, None] - ny) ** 2
+        op = jnp.clip(opacity, 1.0 / 255.0, None)
+        dmax2 = (r * r * (jnp.log(255.0 * op) / 4.5))[:, None]
+        cand_ok = cand_ok & (d2 <= dmax2)
+
+    touched = jnp.sum(cand_ok, axis=1).astype(jnp.int32)
+    num_pairs = jnp.sum(touched)
     cand_tile = jnp.where(cand_ok, cand_tile, num_tiles).reshape(-1)
     cand_gid = jnp.where(
         cand_ok, jnp.arange(n, dtype=jnp.int32)[:, None], n

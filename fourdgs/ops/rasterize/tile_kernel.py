@@ -368,17 +368,17 @@ def _csr_fwd_impl(pairs, chunk_tile, chunk_first,
 
 
 def _csr_finalize(part, chunk_start, n_chunks, npix):
-    """Per-tile images from the kernel's RUNNING totals: the tile's image
-    is the row at its last chunk (one boundary row gather, no chunk-axis
-    cumsum). Empty tiles compose to background (T=1)."""
+    """Per-tile totals from the kernel's RUNNING sums: the tile's values
+    are the row at its last chunk (one boundary row gather, no chunk-axis
+    cumsum). Returns (VT, npix, 6) [r, g, b, depth, cum, la] with empty
+    tiles zeroed — la = 0 makes T_final = exp(la) = 1 for them, so the
+    caller needs NO per-channel select (the old where-chain cost ~2 ms of
+    (VT, npix, 1) layout copies per render)."""
     c_max = part.shape[0]
     last = jnp.clip(chunk_start + n_chunks - 1, 0, c_max - 1)
     tot = part[last]                                # (VT, npix, 8)
-    has = (n_chunks > 0)[:, None]
-    color = jnp.where(has[:, :, None], tot[:, :, 0:NCH], 0.0)
-    depth = jnp.where(has, tot[:, :, NCH], 0.0)
-    t_final = jnp.where(has, jnp.exp(tot[:, :, A_LA]), 1.0)
-    return color, depth, t_final
+    hasf = (n_chunks > 0).astype(part.dtype)[:, None, None]
+    return tot[:, :, :6] * hasf
 
 
 def _csr_bwd_impl(pairs, bounds, t_final_rows, chunk_tile, chunk_last,
@@ -488,8 +488,12 @@ def _ccsr_impl(fields_geo, fields_app, bins_csr, tx_n, ty_n, tile,
     )
     npix = tile * tile
     chunk_start, n_chunks = _chunk_ranges(tile_count)
-    color, depth, t_final = _csr_finalize(part, chunk_start, n_chunks, npix)
-    return (color, depth, t_final, nt), (pairs, bounds, t_final)
+    tot6 = _csr_finalize(part, chunk_start, n_chunks, npix)
+    t_final = jnp.exp(tot6[:, :, A_LA])
+    return (
+        (tot6[:, :, 0:NCH], tot6[:, :, NCH], t_final, nt),
+        (pairs, bounds, t_final),
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
@@ -575,12 +579,12 @@ def _ccsrm_impl(fields_geo, fields_app, bins_csr, tx_n, ty_n, tile,
     c_max_v = chunk_tile.shape[1]
     chunk_start, n_chunks = jax.vmap(_chunk_ranges)(tile_count)
     chunk_start = (chunk_start + voff * c_max_v).reshape(-1)
-    color, depth, t_final = _csr_finalize(
-        part, chunk_start, n_chunks.reshape(-1), npix
-    )
+    tot6 = _csr_finalize(part, chunk_start, n_chunks.reshape(-1), npix)
+    t_final = jnp.exp(tot6[:, :, A_LA])
     shape_v = lambda a: a.reshape((v, t_per_view) + a.shape[1:])
     return (
-        (shape_v(color), shape_v(depth), shape_v(t_final), nt.reshape(v, -1)),
+        (shape_v(tot6[:, :, 0:NCH]), shape_v(tot6[:, :, NCH]),
+         shape_v(t_final), nt.reshape(v, -1)),
         (pairs, bounds, t_final, ct_g),
     )
 

@@ -4,6 +4,11 @@ utils/dataset.py:352-373, slam.py:80).
 
 Providers return a (H, W) bool DYNAMIC mask from an (H, W, 3) uint8 frame:
 
+  - `Yolov9SegSegmenter`: TPU-native — the same yolov9e-seg checkpoint
+    executed as a pure-JAX inference graph (fourdgs/perception/yolov9.py,
+    converter + module set parity-tested in tests/test_yolov9_parity.py).
+    Preferred whenever the .pt weights resolve (only torch's unpickler is
+    needed for loading; inference is jitted JAX),
   - `UltralyticsSegmenter`: the reference's exact path (YOLO
     'yolov9e-seg.pt' predict on configured class ids) when the
     `ultralytics` package + checkpoint are installed — neither ships in
@@ -31,6 +36,24 @@ PERSON, CHAIR, CLOCK, TEDDY = 0, 56, 74, 77
 class NullSegmenter:
     def __call__(self, img_u8: np.ndarray) -> np.ndarray:
         return np.zeros(img_u8.shape[:2], bool)
+
+
+class Yolov9SegSegmenter:
+    """Pure-JAX YOLOv9-seg inference on the ultralytics checkpoint
+    (reference surface: slam.py:80 + utils/dataset.py:352-373, folded
+    into the JAX process per the BASELINE north star)."""
+
+    def __init__(self, weights: str = "pretrained/yolov9e-seg.pt",
+                 classes=(PERSON,), conf: float = 0.25):
+        from fourdgs.perception.yolov9 import load_yolov9
+
+        self.model = load_yolov9(weights)  # raises if weights absent
+        self.classes = list(classes)
+        self.conf = conf
+
+    def __call__(self, img_u8: np.ndarray) -> np.ndarray:
+        chw = img_u8[..., :3].astype(np.float32).transpose(2, 0, 1) / 255.0
+        return self.model.segment(chw, self.classes, conf=self.conf)
 
 
 class UltralyticsSegmenter:
@@ -174,7 +197,12 @@ def make_segmenter(config, intrinsics):
         classes.append(CLOCK)
     if ds.get("seg_teddy"):
         classes.append(TEDDY)
+    weights = ds.get("yolo_weights", "pretrained/yolov9e-seg.pt")
     try:
-        return UltralyticsSegmenter(classes=tuple(classes))
+        return Yolov9SegSegmenter(weights, classes=tuple(classes))
+    except Exception:
+        pass
+    try:
+        return UltralyticsSegmenter(weights, classes=tuple(classes))
     except Exception:
         return MotionSegmenter(intrinsics)

@@ -172,7 +172,7 @@ def _window_bins(gmap: GaussianMap, store: KeyframeStore, slots, proj,
     """Forward-only binning of a view subset at current poses."""
     return compute_bins_multi(
         gmap.params.xyz, gmap.get_scaling, gmap.get_rotation, gmap.alive,
-        store.T_cw[slots], proj,
+        store.T_cw[slots], proj, gmap.get_opacity,
         fx=intr.fx, fy=intr.fy, width=intr.width, height=intr.height,
         tan_fovx=intr.tan_fovx, tan_fovy=intr.tan_fovy,
         config=cfg.raster,

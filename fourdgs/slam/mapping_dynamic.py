@@ -369,6 +369,7 @@ def map_chunk_dynamic(
                     jax.lax.stop_gradient(scales[vw:nv]),
                     jax.lax.stop_gradient(quats[vw:nv]),
                     gmap_s.alive, jax.lax.stop_gradient(T_all[vw:nv]), proj,
+                    jax.lax.stop_gradient(opacs[vw:nv]),
                     config=cfg.raster, **kw,
                 )
                 bins = jax.tree.map(
@@ -608,6 +609,7 @@ def map_chunk_dynamic(
             sel = jnp.concatenate([jnp.arange(vw), jnp.arange(nv, vt)])
             bins_w = compute_bins_multi(
                 m[sel], sc[sel], q[sel], gmap_r.alive, T_all[sel], proj,
+                o[sel],
                 config=cfg.raster, **kw,
             )
         else:

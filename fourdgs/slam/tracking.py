@@ -113,7 +113,7 @@ def track_frame(
 
     def bins_at(T_cw):
         return compute_bins(
-            xyz, scales, quats, static_alive, T_cw, proj,
+            xyz, scales, quats, static_alive, T_cw, proj, opac,
             fx=intr.fx, fy=intr.fy, width=intr.width, height=intr.height,
             tan_fovx=intr.tan_fovx, tan_fovy=intr.tan_fovy,
             config=config.raster,
