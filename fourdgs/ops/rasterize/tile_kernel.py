@@ -450,10 +450,20 @@ def reduce_aligned_by_gaussian(
     producers/consumers XLA lowers it to a scalar-indexed emitter.
     Returns (N+1, F)."""
     max_pairs = values_rows.shape[0]
+    n1, r = cand_aligned.shape
     valid = cand_aligned >= 0
-    vr_b, slot_b = jax.lax.optimization_barrier(
-        (values_rows, jnp.clip(cand_aligned, 0, max_pairs - 1))
+    # Invalid slots (-1, ~70% of the table at production occupancy) must
+    # NOT share one dummy index: the TPU vector-gather emitter serializes
+    # on duplicate rows (VMEM bank conflicts), and clipping them all to 0
+    # made the two reductions cost ~5 ms each — 55% of a full backward.
+    # Valid entries are duplicate-free (the table is a partial
+    # permutation of aligned slots), so spreading the dummies across
+    # distinct rows keeps the whole gather conflict-free (~0.1 ms).
+    spread = (
+        jnp.arange(n1 * r, dtype=jnp.int32).reshape(n1, r) % max_pairs
     )
+    slots = jnp.where(valid, cand_aligned, spread)
+    vr_b, slot_b = jax.lax.optimization_barrier((values_rows, slots))
     rows = jax.lax.optimization_barrier(vr_b[slot_b])       # (N+1, R, F)
     rows = rows * valid.astype(values_rows.dtype)[:, :, None]
     return jnp.sum(rows, axis=1)
@@ -537,10 +547,12 @@ def _ccsr_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
         tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h,
         tiles_per_view=tx_n * ty_n,
     )
-    drows = dpairs.T   # (P, FIELDS)
-    g_geo = reduce_aligned_by_gaussian(drows[:, :NUM_GEO], cand_aligned)
-    g_app = reduce_aligned_by_gaussian(drows[:, NUM_GEO:], cand_aligned)
-    return (g_geo, g_app, None, None, None, None, None, None, None, None)
+    # ONE 10-field gather: the two reductions share indices, and the
+    # in-situ gather cost is dominated by per-index overhead, not row
+    # width (6F and 4F gathers both profiled ~2 ms) — combining halves it
+    g_all = reduce_aligned_by_gaussian(dpairs.T, cand_aligned)
+    return (g_all[:, :NUM_GEO], g_all[:, NUM_GEO:],
+            None, None, None, None, None, None, None, None)
 
 
 composite_csr.defvjp(_ccsr_fwd, _ccsr_bwd)
@@ -633,13 +645,9 @@ def _ccsrm_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
     )
     p = dpairs.shape[1] // v
     drows = dpairs.T.reshape(v, p, NUM_FIELDS)
-    g_geo, g_app = jax.vmap(
-        lambda rows, ca: (
-            reduce_aligned_by_gaussian(rows[:, :NUM_GEO], ca),
-            reduce_aligned_by_gaussian(rows[:, NUM_GEO:], ca),
-        )
-    )(drows, cand_aligned)
-    return (g_geo, g_app, None, None, None, None, None, None, None, None)
+    g_all = jax.vmap(reduce_aligned_by_gaussian)(drows, cand_aligned)
+    return (g_all[..., :NUM_GEO], g_all[..., NUM_GEO:],
+            None, None, None, None, None, None, None, None)
 
 
 composite_csr_multi.defvjp(_ccsrm_fwd, _ccsrm_bwd)
