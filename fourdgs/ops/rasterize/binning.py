@@ -38,16 +38,11 @@ CHUNK = 128
 
 
 class TileBins(NamedTuple):
-    pair_gid: jax.Array     # (P,) int32 gaussian id per sorted pair (N = padding)
-    pair_tile: jax.Array    # (P,) int32 tile id per sorted pair (num_tiles = padding)
     tile_start: jax.Array   # (num_tiles,) int32 offset of each tile's range
     tile_count: jax.Array   # (num_tiles,) int32 pairs in each tile
     num_pairs: jax.Array    # () int32 total real pairs
     overflow: jax.Array     # () bool — pair buffer overflowed
     truncated: jax.Array    # () bool — some tile exceeded per-tile capacity K
-    bygid_perm: jax.Array   # (P,) int32: pair-buffer positions grouped by gaussian id
-    gid_start: jax.Array    # (N+1,) int32: first by-gid position per gaussian
-    gid_count: jax.Array    # (N+1,) int32: pairs per gaussian
     cand_aligned: jax.Array  # (N+1, max_rect) int32 aligned slot of each
     #                          candidate pair per gaussian (-1 = none) —
     #                          precomputed here so the per-iteration
@@ -63,7 +58,6 @@ class TileBins(NamedTuple):
     chunk_tile: jax.Array     # (P//CHUNK,) int32 tile of each chunk (num_tiles = pad)
     chunk_first: jax.Array    # (P//CHUNK,) int32 1 if first chunk of its tile
     chunk_last: jax.Array     # (P//CHUNK,) int32 1 if last chunk of its tile
-    bygid_aligned: jax.Array  # (P,) int32 aligned slot per by-gid pair (-1 = pad)
 
 
 def tile_grid(width: int, height: int, tile: int) -> tuple[int, int]:
@@ -150,9 +144,13 @@ def bin_gaussians(
     ).reshape(-1)
 
     # sort-compaction: real pairs land in the first num_pairs slots,
-    # grouped by tile in depth order (lax.sort is stable)
-    tile_s, _, gid_s = jax.lax.sort(
-        (cand_tile, cand_depth, cand_gid), num_keys=2
+    # grouped by tile in depth order (lax.sort is stable). The candidate
+    # ORIGIN index rides along so the per-gaussian aligned-slot table can
+    # be built by sorting back (a second sort) instead of by 262K/524K-row
+    # index gathers, which run ~15 ns/row on TPU — 3x a sort's cost.
+    origin = jnp.arange(n_cand, dtype=jnp.int32)
+    tile_s, _, gid_s, org_s = jax.lax.sort(
+        (cand_tile, cand_depth, cand_gid, origin), num_keys=2
     )
     if n_cand >= max_pairs:
         pair_tile = tile_s[:max_pairs]
@@ -165,19 +163,6 @@ def bin_gaussians(
     tile_start = jnp.searchsorted(pair_tile, tile_ids, side="left").astype(jnp.int32)
     tile_end = jnp.searchsorted(pair_tile, tile_ids, side="right").astype(jnp.int32)
     tile_count = tile_end - tile_start
-
-    # by-gaussian grouping of pair-buffer positions (backward reduction).
-    # Per-gid segment boundaries are the expansion prefix sums: every real
-    # pair survives compaction (absent overflow), so gaussian g owns
-    # by-gid positions [offsets[g], offsets[g] + touched[g]).
-    _, bygid_perm = jax.lax.sort(
-        (pair_gid, jnp.arange(max_pairs, dtype=jnp.int32)), num_keys=1
-    )
-    offsets = (jnp.cumsum(touched) - touched).astype(jnp.int32)
-    gid_start = jnp.concatenate([offsets, jnp.array([max_pairs], jnp.int32)])
-    gid_count = jnp.concatenate([touched, jnp.array([0], jnp.int32)]).astype(
-        jnp.int32
-    )
 
     # --- CSR chunk layout: CHUNK-aligned per-tile segments -------------
     n_chunks = -(-tile_count // CHUNK)                       # (T,)
@@ -213,12 +198,25 @@ def bin_gaussians(
     a_real = rep(c_valid.astype(jnp.int32)).astype(bool) & (
         k_sp < rep(count_of)
     )
-    src = jnp.clip(rep(src_base) + lane, 0, max_pairs - 1)
+    # invalid slots must not share one clipped dummy index: the TPU
+    # vector-gather emitter serializes on duplicate rows (VMEM bank
+    # conflicts). Valid slots are duplicate-free, so spreading the
+    # dummies across distinct rows keeps the gather conflict-free.
+    sp_all = jnp.arange(max_pairs, dtype=jnp.int32)
+    src = jnp.where(
+        a_real, jnp.clip(rep(src_base) + lane, 0, max_pairs - 1), sp_all
+    )
     aligned_gid = jnp.where(a_real, pair_gid[src], n)
 
-    # by-gid -> aligned-slot mapping (backward reduction): pay the
-    # position gathers once here, not in every backward call. Aligned
-    # slot of by-tile pair p = p + shift[tile(p)].
+    # per-gaussian candidate -> aligned-slot table: the ONLY index table
+    # the backward per-gaussian reduction needs — built once per
+    # (re)binning instead of gathered in every backward pass (that gather
+    # profiled at ~3.5 ms/iteration inside the tracking loop). The
+    # aligned slot of by-tile pair p is p + shift[tile(p)]; sorting
+    # (origin, aligned_pos) back over the full expansion domain lays the
+    # slots out per-gaussian row-major — within-row order is irrelevant
+    # to the reduction's masked sum, and one 524K sort costs ~half of the
+    # two big index gathers it replaces.
     shift = aligned_start - tile_start                       # (T,)
     sp = jnp.arange(max_pairs, dtype=jnp.int32)
     p_valid = pair_tile < num_tiles
@@ -228,27 +226,22 @@ def bin_gaussians(
                  0, max_pairs - 1),
         -1,
     )
-    bygid_aligned = aligned_pos[bygid_perm]
-
-    # per-gaussian candidate -> aligned-slot table: gaussian g's pairs
-    # occupy contiguous by-gid positions [offsets[g], offsets[g]+touched[g])
-    # and touched <= max_rect, so this is the ONLY index gather the
-    # backward per-gaussian reduction needs — done once per (re)binning
-    # instead of in every backward pass (it profiled at ~3.5 ms/iteration
-    # inside the tracking loop)
-    krange = jnp.arange(max_rect, dtype=jnp.int32)
-    pos = jnp.minimum(
-        gid_start[:, None] + krange[None, :], max_pairs - 1
+    if n_cand >= max_pairs:
+        # sorted slots past the pair buffer are overflow: no aligned slot
+        apos_full = jnp.concatenate(
+            [aligned_pos, jnp.full((n_cand - max_pairs,), -1, jnp.int32)]
+        )
+    else:
+        apos_full = aligned_pos[:n_cand]
+    _, ca_flat = jax.lax.sort((org_s, apos_full), num_keys=1)
+    cand_aligned = jnp.concatenate(
+        [
+            ca_flat.reshape(n, max_rect),
+            jnp.full((1, max_rect), -1, jnp.int32),
+        ]
     )                                                        # (N+1, R)
-    cand_aligned = jnp.where(
-        krange[None, :] < gid_count[:, None],
-        bygid_aligned[pos],
-        -1,
-    )
 
     return TileBins(
-        pair_gid=pair_gid,
-        pair_tile=pair_tile,
         tile_start=tile_start,
         tile_count=tile_count,
         num_pairs=num_pairs,
@@ -256,14 +249,10 @@ def bin_gaussians(
         # inflates by < num_tiles*CHUNK); fold it into the same flag
         overflow=(num_pairs > max_pairs) | (total_chunks > c_max),
         truncated=jnp.any(tile_count > tile_cap),
-        bygid_perm=bygid_perm,
-        gid_start=gid_start,
-        gid_count=gid_count,
         cand_aligned=cand_aligned,
         aligned_gid=aligned_gid,
         aligned_start=aligned_start,
         chunk_tile=chunk_tile,
         chunk_first=chunk_first,
         chunk_last=chunk_last,
-        bygid_aligned=bygid_aligned,
     )
