@@ -9,9 +9,12 @@ TPU build's viewer is web-first with the SAME control surface:
   * every `interval` frames it renders (a) the current tracked view,
     (b) a novel orbit view with the SAME differentiable renderer the
     optimizer uses (like the reference GUI reusing the CUDA `render`,
-    slam_gui.py:540-571), (c) a depth visualization, and (d) a top-down
-    trajectory/keyframe plot (the headless analogue of the reference's
-    frustum + keyframe line sets, slam_gui.py:318-412);
+    slam_gui.py:540-571), (c) a depth visualization, (d) a top-down
+    trajectory/keyframe plot, and (e) the 3D scene payload
+    (points.bin + scene.json) consumed by the page's WebGL point-cloud
+    + camera-frustum widget — the in-browser counterpart of the
+    reference's Open3D scene view and gl_render frustums
+    (slam_gui.py:318-412, gui/gl_render/);
   * an HTTP server exposes the images plus a CONTROL CHANNEL:
     `GET /ctl?cmd=pause|resume` and `GET /ctl?cmd=orbit&yaw=..&x=..`
     adjust the run and the novel-view camera live — the
@@ -45,13 +48,19 @@ class GaussianSnapshot(NamedTuple):
     T_cw: np.ndarray
 
 
+# Static page (header filled live from status.json). The right-hand canvas
+# is a dependency-free WebGL scene view — splat centers as a colored point
+# cloud (dynamic Gaussians tinted orange) plus keyframe/current camera
+# frustums with drag-orbit + wheel-zoom — the in-browser counterpart of
+# the reference's Open3D widget + gl_render frustum line sets
+# (gui/slam_gui.py:318-412, gui/gl_render/render_ogl.py).
 _INDEX_HTML = """<!doctype html>
 <html><head><title>4DGS-SLAM (TPU) live</title>
 <style>body{background:#111;color:#eee;font-family:monospace}
-img{image-rendering:pixelated;max-width:24%%}
+img{image-rendering:pixelated;max-width:24%}
+canvas{border:1px solid #333;touch-action:none}
 button{margin:2px;padding:4px 12px}</style></head>
-<body><h3 id="hdr">4DGS-SLAM (TPU) — frame %(frame)d, %(n)d gaussians
-(%(ndy)d dynamic)%(paused)s</h3>
+<body><h3 id="hdr">4DGS-SLAM (TPU) — loading…</h3>
 <div>
 <button onclick="fetch('/ctl?cmd=pause')">pause</button>
 <button onclick="fetch('/ctl?cmd=resume')">resume</button>
@@ -62,6 +71,7 @@ x <input type="range" id="x" min="-100" max="100" value="15"
 </div>
 <img src="current.png"><img src="novel.png"><img src="depth.png">
 <img src="trajectory.png">
+<div><canvas id="gl" width="640" height="480"></canvas></div>
 <script>
 function orbit(){
   fetch('/ctl?cmd=orbit&yaw='+document.getElementById('yaw').value
@@ -74,9 +84,152 @@ setInterval(()=>{fetch('status.json').then(r=>r.json()).then(s=>{
     const u = new URL(im.src); u.searchParams.set('t', Date.now());
     im.src = u.href; }
 }).catch(()=>{})}, 2000);
+
+// ---- 3D scene view (raw WebGL, no libraries) ----
+const cv = document.getElementById('gl');
+const gl = cv.getContext('webgl');
+let nPts = 0, lineVerts = 0, center = [0,0,0];
+let theta = -0.5, phi = 0.4, radius = 6;
+function sh(type, src){const s = gl.createShader(type);
+  gl.shaderSource(s, src); gl.compileShader(s); return s;}
+const prog = gl.createProgram();
+gl.attachShader(prog, sh(gl.VERTEX_SHADER, `
+  attribute vec3 p; attribute vec3 c; uniform mat4 mvp; uniform float ps;
+  varying vec3 vc;
+  void main(){ gl_Position = mvp*vec4(p,1.0);
+    gl_PointSize = clamp(ps/gl_Position.w, 1.0, 6.0); vc = c; }`));
+gl.attachShader(prog, sh(gl.FRAGMENT_SHADER, `
+  precision mediump float; varying vec3 vc;
+  void main(){ gl_FragColor = vec4(vc,1.0); }`));
+gl.linkProgram(prog); gl.useProgram(prog);
+const aP = gl.getAttribLocation(prog,'p');
+const aC = gl.getAttribLocation(prog,'c');
+const uM = gl.getUniformLocation(prog,'mvp');
+const uS = gl.getUniformLocation(prog,'ps');
+const pBuf = gl.createBuffer(), lBuf = gl.createBuffer();
+function matmul(a,b){const o = new Float32Array(16);
+  for(let i=0;i<4;i++)for(let j=0;j<4;j++){let s=0;
+    for(let k=0;k<4;k++)s+=a[k*4+j]*b[i*4+k]; o[i*4+j]=s;} return o;}
+function mvp(){
+  const cx=Math.cos(theta),sx=Math.sin(theta);
+  const cy=Math.cos(phi),sy=Math.sin(phi);
+  const eye=[center[0]+radius*cy*sx, center[1]-radius*sy,
+             center[2]-radius*cy*cx];
+  let f=[center[0]-eye[0],center[1]-eye[1],center[2]-eye[2]];
+  const fl=Math.hypot(...f); f=f.map(v=>v/fl);
+  let up=[0,-1,0];
+  let s=[f[1]*up[2]-f[2]*up[1],f[2]*up[0]-f[0]*up[2],f[0]*up[1]-f[1]*up[0]];
+  const sln=Math.hypot(...s); s=s.map(v=>v/sln);
+  const u=[s[1]*f[2]-s[2]*f[1],s[2]*f[0]-s[0]*f[2],s[0]*f[1]-s[1]*f[0]];
+  const view=new Float32Array([s[0],u[0],-f[0],0, s[1],u[1],-f[1],0,
+    s[2],u[2],-f[2],0,
+    -(s[0]*eye[0]+s[1]*eye[1]+s[2]*eye[2]),
+    -(u[0]*eye[0]+u[1]*eye[1]+u[2]*eye[2]),
+    (f[0]*eye[0]+f[1]*eye[1]+f[2]*eye[2]),1]);
+  const n=0.02,fa=200,t=n*Math.tan(0.4),r=t*cv.width/cv.height;
+  const proj=new Float32Array([n/r,0,0,0, 0,n/t,0,0,
+    0,0,-(fa+n)/(fa-n),-1, 0,0,-2*fa*n/(fa-n),0]);
+  return matmul(proj,view);}
+gl.enable(gl.DEPTH_TEST);
+function draw(){
+  gl.viewport(0,0,cv.width,cv.height);
+  gl.clearColor(0.04,0.04,0.06,1);
+  gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
+  gl.uniformMatrix4fv(uM,false,mvp());
+  gl.enableVertexAttribArray(aP); gl.enableVertexAttribArray(aC);
+  if(nPts){ gl.bindBuffer(gl.ARRAY_BUFFER,pBuf);
+    gl.vertexAttribPointer(aP,3,gl.FLOAT,false,24,0);
+    gl.vertexAttribPointer(aC,3,gl.FLOAT,false,24,12);
+    gl.uniform1f(uS,8.0); gl.drawArrays(gl.POINTS,0,nPts); }
+  if(lineVerts){ gl.bindBuffer(gl.ARRAY_BUFFER,lBuf);
+    gl.vertexAttribPointer(aP,3,gl.FLOAT,false,24,0);
+    gl.vertexAttribPointer(aC,3,gl.FLOAT,false,24,12);
+    gl.drawArrays(gl.LINES,0,lineVerts); }
+  requestAnimationFrame(draw);}
+function frustum(T,col,out){ // T: world-from-camera, row-major 4x4
+  const d=0.25,w=0.33*d,h=0.25*d;
+  const pts=[[0,0,0],[-w,-h,d],[w,-h,d],[w,h,d],[-w,h,d]].map(p=>[
+    T[0]*p[0]+T[1]*p[1]+T[2]*p[2]+T[3],
+    T[4]*p[0]+T[5]*p[1]+T[6]*p[2]+T[7],
+    T[8]*p[0]+T[9]*p[1]+T[10]*p[2]+T[11]]);
+  const e=[[0,1],[0,2],[0,3],[0,4],[1,2],[2,3],[3,4],[4,1]];
+  for(const [i,j] of e){ out.push(...pts[i],...col,...pts[j],...col); }}
+function loadScene(){
+  fetch('points.bin?t='+Date.now()).then(r=>r.arrayBuffer()).then(b=>{
+    const a=new Float32Array(b); const n=(a.length/7)|0;
+    const v=new Float32Array(n*6); let sx=0,sy=0,sz=0;
+    for(let i=0;i<n;i++){ const o=i*7;
+      v[i*6]=a[o]; v[i*6+1]=a[o+1]; v[i*6+2]=a[o+2];
+      sx+=a[o]; sy+=a[o+1]; sz+=a[o+2];
+      const dyn=a[o+6]>0.5;
+      v[i*6+3]=dyn?1.0:a[o+3]; v[i*6+4]=dyn?0.55:a[o+4];
+      v[i*6+5]=dyn?0.1:a[o+5]; }
+    if(n){ center=[sx/n,sy/n,sz/n]; }
+    gl.bindBuffer(gl.ARRAY_BUFFER,pBuf);
+    gl.bufferData(gl.ARRAY_BUFFER,v,gl.DYNAMIC_DRAW); nPts=n;
+  }).catch(()=>{});
+  fetch('scene.json?t='+Date.now()).then(r=>r.json()).then(s=>{
+    const out=[];
+    for(const T of s.kf){ frustum(T,[0.3,0.6,1.0],out); }
+    if(s.cur){ frustum(s.cur,[1,1,1],out); }
+    gl.bindBuffer(gl.ARRAY_BUFFER,lBuf);
+    gl.bufferData(gl.ARRAY_BUFFER,new Float32Array(out),gl.DYNAMIC_DRAW);
+    lineVerts=(out.length/6)|0;
+  }).catch(()=>{});}
+let drag=false,lx=0,ly=0;
+cv.addEventListener('pointerdown',e=>{drag=true;lx=e.clientX;ly=e.clientY;});
+window.addEventListener('pointerup',()=>drag=false);
+window.addEventListener('pointermove',e=>{ if(!drag)return;
+  theta+=(e.clientX-lx)*0.008; phi+=(e.clientY-ly)*0.008;
+  phi=Math.max(-1.5,Math.min(1.5,phi)); lx=e.clientX; ly=e.clientY;});
+cv.addEventListener('wheel',e=>{ e.preventDefault();
+  radius*=Math.exp(e.deltaY*0.001); radius=Math.max(0.2,radius);});
+loadScene(); setInterval(loadScene, 2000); draw();
 </script>
 </body></html>
 """
+
+
+def write_scene(
+    dirpath: str,
+    xyz: np.ndarray,          # (N, 3) alive splat centers (world)
+    rgb: np.ndarray,          # (N, 3) linear color in [0, 1]
+    dyn: np.ndarray,          # (N,) bool dynamic-Gaussian flag
+    kf_poses: list[np.ndarray],   # world-from-camera 4x4 per keyframe
+    cur_pose: np.ndarray | None,  # world-from-camera 4x4, current frame
+    max_points: int = 1 << 15,
+) -> int:
+    """Dump the 3D scene-view payload: `points.bin` (float32 rows
+    [x y z r g b dyn], strided down to <= max_points) + `scene.json`
+    (row-major frustum poses). This is the GaussianPacket surface the
+    reference ships to its GUI process (gui/gui_utils.py:16-74); here the
+    browser's WebGL widget consumes it. Returns the point count written."""
+    n = xyz.shape[0]
+    if n > max_points:
+        step = -(-n // max_points)
+        xyz, rgb, dyn = xyz[::step], rgb[::step], dyn[::step]
+        n = xyz.shape[0]
+    buf = np.concatenate(
+        [
+            xyz.astype(np.float32),
+            np.clip(rgb, 0.0, 1.0).astype(np.float32),
+            dyn.astype(np.float32)[:, None],
+        ],
+        axis=1,
+    )
+    buf.tofile(os.path.join(dirpath, "points.bin"))
+    scene = {
+        "n_points": int(n),
+        "kf": [np.asarray(T, np.float64).reshape(-1).tolist() for T in kf_poses],
+        "cur": (
+            np.asarray(cur_pose, np.float64).reshape(-1).tolist()
+            if cur_pose is not None
+            else None
+        ),
+    }
+    with open(os.path.join(dirpath, "scene.json"), "w") as f:
+        json.dump(scene, f)
+    return n
 
 
 def _save_png(path: str, img: np.ndarray) -> None:
@@ -148,6 +301,10 @@ class LiveViewer:
         self._unpaused.set()
         self.orbit = np.asarray([0.15, -0.05, 0.0, 0.0, 0.25, 0.0], np.float32)
         self._last = {"frame": 0, "n": 0, "ndy": 0}
+        # the page is static: the header and scene payloads refresh via
+        # status.json / points.bin / scene.json fetches
+        with open(os.path.join(self.dir, "index.html"), "w") as f:
+            f.write(_INDEX_HTML)
         if serve_port is not None:
             self._serve(serve_port)
 
@@ -242,6 +399,26 @@ class LiveViewer:
                 slam.poses_est, getattr(slam, "kf_indices", ()),
             ),
         )
+        # 3D scene payload for the WebGL widget: alive splat centers +
+        # colors + dynamic flags, keyframe/current frustums (world-from-
+        # camera = inv(T_cw))
+        alive = np.asarray(slam.gmap.alive)
+        sel = np.nonzero(alive)[0]
+        from fourdgs.geometry.sh import sh0_to_rgb
+
+        kf_poses = [
+            np.linalg.inv(np.asarray(slam.poses_est[int(k)]))
+            for k in getattr(slam, "kf_indices", ())
+            if int(k) in slam.poses_est
+        ]
+        write_scene(
+            self.dir,
+            np.asarray(slam.gmap.params.xyz)[sel],
+            np.asarray(sh0_to_rgb(slam.gmap.params.f_dc))[sel],
+            np.asarray(slam.gmap.dygs)[sel],
+            kf_poses,
+            np.linalg.inv(np.asarray(T)),
+        )
         snap = GaussianSnapshot(
             n_gaussians=int(slam.gmap.num_alive),
             n_dynamic=int(np.asarray(slam.gmap.dygs & slam.gmap.alive).sum()),
@@ -252,16 +429,6 @@ class LiveViewer:
             "frame": frame_idx, "n": snap.n_gaussians, "ndy": snap.n_dynamic,
         }
         self._write_status()
-        with open(os.path.join(self.dir, "index.html"), "w") as f:
-            f.write(
-                _INDEX_HTML
-                % {
-                    "frame": frame_idx,
-                    "n": snap.n_gaussians,
-                    "ndy": snap.n_dynamic,
-                    "paused": " [PAUSED]" if self.paused else "",
-                }
-            )
         return snap
 
     def close(self):

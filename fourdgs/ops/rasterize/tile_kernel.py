@@ -134,16 +134,20 @@ def _csr_quantities(pairs_ref, s, px, py):
     alpha = jnp.minimum(ALPHA_MAX, raw)
     valid = (power <= 0.0) & (alpha >= ALPHA_MIN)
     la = jnp.where(valid, jnp.log1p(-alpha), 0.0)
+    # exp(-la) = 1/(1-alpha) where valid (1 where invalid, but every use
+    # is masked by applied <= valid): one VPU reciprocal replaces the
+    # second transcendental exp(cum - la) both kernels used to pay
+    inv_1ma = 1.0 / jnp.maximum(1.0 - alpha, 1e-6)
     return dict(
-        dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, op=op,
-        g=g, raw=raw, alpha=alpha, valid=valid, la=la, sl=sl,
+        dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, op=op, g=g, raw=raw,
+        alpha=alpha, valid=valid, la=la, inv_1ma=inv_1ma, sl=sl,
     )
 
 
 def _fwd_kernel_csr(ct_ref, cf_ref, pairs_ref, part_ref, nt_ref, bounds_ref,
                     acc_ref, done_ref,
                     *, tx_n: int, tile: int, img_w: int, img_h: int,
-                    tiles_per_view: int):
+                    tiles_per_view: int, n_tiles_total: int):
     j = pl.program_id(0)
     npix = tile * tile
     tri = _tri_incl()
@@ -159,7 +163,11 @@ def _fwd_kernel_csr(ct_ref, cf_ref, pairs_ref, part_ref, nt_ref, bounds_ref,
             acc_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)
             done_ref[0] = 0
 
-        was_done = done_ref[0] == 1
+        # pad chunks (binner sentinel tile id >= total tile count — only
+        # ~60% of max_pairs chunks are real at production occupancy) take
+        # the same cheap branch as saturated tiles instead of streaming
+        # dummy pairs through the full alpha/transmittance chain
+        was_done = (done_ref[0] == 1) | (ct_ref[cid] >= n_tiles_total)
 
         @pl.when(~was_done)
         def _compute():
@@ -170,7 +178,7 @@ def _fwd_kernel_csr(ct_ref, cf_ref, pairs_ref, part_ref, nt_ref, bounds_ref,
             )
             t_incl = jnp.exp(cum)
             applied = q["valid"] & (t_incl >= T_EPS)
-            t_before = jnp.exp(cum - q["la"])
+            t_before = t_incl * q["inv_1ma"]
             w = jnp.where(applied, q["alpha"] * t_before, 0.0)
 
             # weighted color/depth accumulation as ONE MXU matmul
@@ -213,7 +221,7 @@ def _fwd_kernel_csr(ct_ref, cf_ref, pairs_ref, part_ref, nt_ref, bounds_ref,
 def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
                     dpairs_ref, acc_ref,
                     *, tx_n: int, tile: int, img_w: int, img_h: int,
-                    tiles_per_view: int):
+                    tiles_per_view: int, n_tiles_total: int):
     j = pl.program_id(0)   # block (G-1-j) via the static index maps
     g = pl.num_programs(0)
     npix = tile * tile
@@ -228,6 +236,28 @@ def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
         def _init():
             acc_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)
 
+        # pad chunks: skip the whole gradient chain, but the output block
+        # MUST be zeroed — downstream the reduction's conflict-spread
+        # dummy rows gather arbitrary dpairs rows (masked to zero, but
+        # 0 * garbage-NaN from uninitialized VMEM would poison the sum)
+        pad = ct_ref[cid] >= n_tiles_total
+
+        @pl.when(pad)
+        def _zero_pad():
+            dpairs_ref[:, pl.ds(s * CHUNK, CHUNK)] = jnp.zeros(
+                (NUM_FIELDS, CHUNK), jnp.float32
+            )
+
+        @pl.when(~pad)
+        def _compute_bwd():
+            _bwd_chunk(
+                ct_ref, pairs_ref, gchunk_ref, bounds_ref, dpairs_ref,
+                acc_ref, s, t, px, py, tri, npix, tx_n, tile,
+            )
+
+
+def _bwd_chunk(ct_ref, pairs_ref, gchunk_ref, bounds_ref, dpairs_ref,
+               acc_ref, s, t, px, py, tri, npix, tx_n, tile):
         g4 = gchunk_ref[s, :, 0:4]          # (npix, 4): [gr, gg, gb, gd]
         g_tf = gchunk_ref[s, :, NCH + 1:NCH + 2]
         t_final = gchunk_ref[s, :, NCH + 2:NCH + 3]
@@ -240,9 +270,9 @@ def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
         )
         t_incl = jnp.exp(cum)
         applied = q["valid"] & (t_incl >= T_EPS)
-        t_before = jnp.exp(cum - la)
+        inv_1ma = q["inv_1ma"]
+        t_before = t_incl * inv_1ma
         w = jnp.where(applied, q["alpha"] * t_before, 0.0)
-        inv_1ma = 1.0 / jnp.maximum(1.0 - q["alpha"], 1e-6)
 
         # u_i = sum_ch g_ch c_ch,i + g_d depth_i as ONE (npix,4)@(4,CHUNK)
         # MXU matmul
@@ -323,7 +353,8 @@ def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
 
 
 def _csr_fwd_impl(pairs, chunk_tile, chunk_first,
-                  *, tx_n, ty_n, tile, img_w, img_h, tiles_per_view):
+                  *, tx_n, ty_n, tile, img_w, img_h, tiles_per_view,
+                  n_tiles_total):
     """pairs (FIELDS, P) CHUNK-aligned -> per-chunk partials (c_max, npix,
     8), per-slot nt (P,), per-chunk entry bounds (c_max, npix)."""
     p = pairs.shape[1]
@@ -336,7 +367,7 @@ def _csr_fwd_impl(pairs, chunk_tile, chunk_first,
     npix = tile * tile
     kern = functools.partial(
         _fwd_kernel_csr, tx_n=tx_n, tile=tile, img_w=img_w, img_h=img_h,
-        tiles_per_view=tiles_per_view,
+        tiles_per_view=tiles_per_view, n_tiles_total=n_tiles_total,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -383,7 +414,8 @@ def _csr_finalize(part, chunk_start, n_chunks, npix):
 
 def _csr_bwd_impl(pairs, bounds, t_final_rows, chunk_tile, chunk_last,
                   g_color, g_depth, g_tf,
-                  *, tx_n, ty_n, tile, img_w, img_h, tiles_per_view):
+                  *, tx_n, ty_n, tile, img_w, img_h, tiles_per_view,
+                  n_tiles_total):
     """dpairs (FIELDS, P) from per-tile output gradients (VT, npix[, C])."""
     p = pairs.shape[1]
     c_max = p // CHUNK
@@ -406,7 +438,7 @@ def _csr_bwd_impl(pairs, bounds, t_final_rows, chunk_tile, chunk_last,
     gchunk = grows[jnp.minimum(chunk_tile, vt)]       # (c_max, npix, 8)
     kern = functools.partial(
         _bwd_kernel_csr, tx_n=tx_n, tile=tile, img_w=img_w, img_h=img_h,
-        tiles_per_view=tiles_per_view,
+        tiles_per_view=tiles_per_view, n_tiles_total=n_tiles_total,
     )
     g = c_max // SUBS
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -494,7 +526,7 @@ def _ccsr_impl(fields_geo, fields_app, bins_csr, tx_n, ty_n, tile,
     part, nt, bounds = _csr_fwd_impl(
         pairs, chunk_tile, chunk_first,
         tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h,
-        tiles_per_view=tx_n * ty_n,
+        tiles_per_view=tx_n * ty_n, n_tiles_total=tx_n * ty_n,
     )
     npix = tile * tile
     chunk_start, n_chunks = _chunk_ranges(tile_count)
@@ -545,7 +577,7 @@ def _ccsr_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
         pairs, bounds, t_final, chunk_tile, chunk_last,
         g_color, g_depth, g_tf,
         tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h,
-        tiles_per_view=tx_n * ty_n,
+        tiles_per_view=tx_n * ty_n, n_tiles_total=tx_n * ty_n,
     )
     # ONE 10-field gather: the two reductions share indices, and the
     # in-situ gather cost is dominated by per-index overhead, not row
@@ -585,7 +617,7 @@ def _ccsrm_impl(fields_geo, fields_app, bins_csr, tx_n, ty_n, tile,
     part, nt, bounds = _csr_fwd_impl(
         pairs, ct_g, chunk_first.reshape(-1),
         tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h,
-        tiles_per_view=t_per_view,
+        tiles_per_view=t_per_view, n_tiles_total=v * t_per_view,
     )
     npix = tile * tile
     c_max_v = chunk_tile.shape[1]
@@ -641,7 +673,7 @@ def _ccsrm_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
         pairs, bounds, t_final, ct_g, chunk_last.reshape(-1),
         flat(g_color), flat(g_depth), flat(g_tf),
         tx_n=tx_n, ty_n=ty_n, tile=tile, img_w=img_w, img_h=img_h,
-        tiles_per_view=t_per_view,
+        tiles_per_view=t_per_view, n_tiles_total=v * t_per_view,
     )
     p = dpairs.shape[1] // v
     drows = dpairs.T.reshape(v, p, NUM_FIELDS)

@@ -22,7 +22,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compilation cache: XLA CPU compiles of the big jitted steps
 # (map_chunk, track_frame) run minutes each; caching them across test
 # runs keeps the suite's wall time dominated by actual compute
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("FOURDGS_TEST_CACHE", "/tmp/jax_test_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
