@@ -21,11 +21,20 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # persistent compilation cache: XLA CPU compiles of the big jitted steps
 # (map_chunk, track_frame) run minutes each; caching them across test
-# runs keeps the suite's wall time dominated by actual compute
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("FOURDGS_TEST_CACHE", "/tmp/jax_test_cache"),
-)
+# runs keeps the suite's wall time dominated by actual compute. A COLD
+# run (fresh container/CI) is seeded from the checked-in cache tarball
+# (regenerate with scripts/seed_test_cache.py after compile-relevant
+# changes) — entries are keyed by program hash, so stale entries are
+# ignored, never wrong.
+_cache_dir = os.environ.get("FOURDGS_TEST_CACHE", "/tmp/jax_test_cache")
+_seed = os.path.join(os.path.dirname(__file__), "compile_cache.tar.gz")
+if not os.path.isdir(_cache_dir) and os.path.exists(_seed):
+    import tarfile
+
+    os.makedirs(_cache_dir, exist_ok=True)
+    with tarfile.open(_seed) as _tf:
+        _tf.extractall(_cache_dir, filter="data")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
