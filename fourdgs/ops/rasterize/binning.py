@@ -136,9 +136,6 @@ def bin_gaussians(
     touched = jnp.sum(cand_ok, axis=1).astype(jnp.int32)
     num_pairs = jnp.sum(touched)
     cand_tile = jnp.where(cand_ok, cand_tile, num_tiles).reshape(-1)
-    cand_gid = jnp.where(
-        cand_ok, jnp.arange(n, dtype=jnp.int32)[:, None], n
-    ).reshape(-1)
     cand_depth = jnp.where(
         cand_ok, jnp.broadcast_to(depth[:, None], (n, max_rect)), jnp.inf
     ).reshape(-1)
@@ -148,16 +145,22 @@ def bin_gaussians(
     # ORIGIN index rides along so the per-gaussian aligned-slot table can
     # be built by sorting back (a second sort) instead of by 262K/524K-row
     # index gathers, which run ~15 ns/row on TPU — 3x a sort's cost.
+    # The gaussian id is NOT carried: gid == origin // max_rect (the
+    # expansion is a dense (N, max_rect) grid), and the only consumer
+    # (aligned_gid) reads it under the a_real mask, where every slot is a
+    # valid pair — so deriving it saves 25% of the sort payload.
     origin = jnp.arange(n_cand, dtype=jnp.int32)
-    tile_s, _, gid_s, org_s = jax.lax.sort(
-        (cand_tile, cand_depth, cand_gid, origin), num_keys=2
+    tile_s, _, org_s = jax.lax.sort(
+        (cand_tile, cand_depth, origin), num_keys=2
     )
     if n_cand >= max_pairs:
         pair_tile = tile_s[:max_pairs]
-        pair_gid = gid_s[:max_pairs]
+        pair_gid = org_s[:max_pairs] // max_rect
     else:
         pair_tile = jnp.pad(tile_s, (0, max_pairs - n_cand), constant_values=num_tiles)
-        pair_gid = jnp.pad(gid_s, (0, max_pairs - n_cand), constant_values=n)
+        pair_gid = jnp.pad(
+            org_s // max_rect, (0, max_pairs - n_cand), constant_values=n
+        )
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(pair_tile, tile_ids, side="left").astype(jnp.int32)
