@@ -113,7 +113,7 @@ def eval_rendering(
         if mask_dynamic:
             mask = mask & jnp.asarray(motion_mask)
         dump_this = dump_images and (
-            dump_interval is None
+            not dump_interval                      # None/0: dump every frame
             or (idx + 1) % dump_interval == 0
             or idx == 0
         )

@@ -108,6 +108,9 @@ def voxel_downsample_mask(points: np.ndarray, voxel: float) -> np.ndarray:
     return keep
 
 
+_warned_crude = False
+
+
 def region_filter(mask: np.ndarray, min_region: int) -> np.ndarray:
     """Keep only 4-connected True regions with >= min_region pixels
     (native union-find; numpy BFS fallback). Used by the motion
@@ -137,5 +140,18 @@ def region_filter(mask: np.ndarray, min_region: int) -> np.ndarray:
         keep_lab[0] = False
         return keep_lab[lbl]
     except Exception:
-        # crude global-count fallback (no scipy): all-or-nothing
+        # crude global-count fallback (no native lib AND no scipy —
+        # neither happens in a standard install): all-or-nothing, which
+        # KEEPS sub-threshold specks whenever the total count passes.
+        # Warn once rather than silently change motion-mask semantics.
+        global _warned_crude
+        if not _warned_crude:
+            _warned_crude = True
+            import warnings
+
+            warnings.warn(
+                "region_filter: no native lib and no scipy — falling "
+                "back to all-or-nothing region filtering (small noise "
+                "regions are NOT removed individually)"
+            )
         return mb if mb.sum() >= min_region else np.zeros((h, w), bool)

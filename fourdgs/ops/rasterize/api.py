@@ -47,6 +47,16 @@ class RasterConfig(NamedTuple):
         return ((side - 1) * self.tile) // 2
 
 
+def ndc_project(x: jax.Array, full: jax.Array) -> jax.Array:
+    """(N, 3) points through a 4x4 full projection (proj @ T_cw) to NDC.
+    Shared by `render_flow` and the batched dynamic-mapping flow payloads
+    (reference flow projection, gaussian_renderer/__init__.py:268-300) —
+    keep the w-epsilon in ONE place."""
+    hom = x @ full[:3, :3].T + full[:3, 3]
+    w = x @ full[3, :3].T + full[3, 3]
+    return hom / (w[:, None] + 1e-7)
+
+
 def _assemble_image(tiles: jax.Array, tx_n: int, ty_n: int, tile: int, w: int, h: int):
     """(num_tiles, tile*tile[, C]) -> ([C,] H, W)."""
     if tiles.ndim == 3:
@@ -121,6 +131,7 @@ def rasterize(
             max_pairs=config.max_pairs,
             tile_cap=config.tile_cap,
             opacity=jax.lax.stop_gradient(sg.opacity),
+            cull_radius=jax.lax.stop_gradient(sg.sigma3),
         )
 
     n = means3d.shape[0]
@@ -224,12 +235,7 @@ def render_flow(
     full1 = proj @ T_cw1
     full2 = proj @ T_cw2
 
-    def ndc(x, full):
-        hom = x @ full[:3, :3].T + full[:3, 3]
-        w = x @ full[3, :3].T + full[3, 3]
-        return hom / (w[:, None] + 1e-7)
-
-    flow = ndc(x2, full2) - ndc(x1, full1)
+    flow = ndc_project(x2, full2) - ndc_project(x1, full1)
     payload = jnp.concatenate(
         [flow[:, :2], dygs.astype(jnp.float32)[:, None]], axis=1
     )
@@ -294,6 +300,7 @@ def compute_bins(
         width=width, height=height, tile=config.tile,
         max_rect=config.max_rect, max_pairs=config.max_pairs,
         tile_cap=config.tile_cap, opacity=sg.opacity,
+        cull_radius=sg.sigma3,
     )
 
 
@@ -347,8 +354,10 @@ def compute_bins_multi(
             width=width, height=height, tile=config.tile,
             max_rect=config.max_rect, max_pairs=config.max_pairs,
             tile_cap=config.tile_cap, opacity=args[4],
+            cull_radius=args[5],
         ),
-        (sgs.mean2d, sgs.depth, sgs.radius, sgs.visible, sgs.opacity),
+        (sgs.mean2d, sgs.depth, sgs.radius, sgs.visible, sgs.opacity,
+         sgs.sigma3),
     )
 
 
@@ -426,12 +435,14 @@ def rasterize_multi(
                 width=width, height=height, tile=config.tile,
                 max_rect=config.max_rect, max_pairs=config.max_pairs,
                 tile_cap=config.tile_cap, opacity=args[4],
+                cull_radius=args[5],
             ),
             (
                 jax.lax.stop_gradient(sg.mean2d),
                 jax.lax.stop_gradient(sg.depth),
                 sg.radius, sg.visible,
                 jax.lax.stop_gradient(sg.opacity),
+                jax.lax.stop_gradient(sg.sigma3),
             ),
         )
 

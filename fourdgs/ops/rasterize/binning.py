@@ -32,9 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-
-# chunk granularity of the CSR compositor (must equal tile_kernel.CHUNK)
-CHUNK = 128
+from fourdgs.ops.rasterize.tile_kernel import CHUNK, SUBS
 
 
 class TileBins(NamedTuple):
@@ -81,13 +79,14 @@ def bin_gaussians(
     max_pairs: int = 1 << 18,
     tile_cap: int = 1024,
     opacity: jax.Array | None = None,
+    cull_radius: jax.Array | None = None,
 ) -> TileBins:
     # the CSR compositor walks the pair buffer CHUNK*SUBS slots per grid
     # program (tile_kernel.py: c_max // SUBS); a non-multiple max_pairs
     # would silently floor-drop tail chunks
-    if max_pairs % (CHUNK * 4):
+    if max_pairs % (CHUNK * SUBS):
         raise ValueError(
-            f"max_pairs ({max_pairs}) must be a multiple of {CHUNK * 4} "
+            f"max_pairs ({max_pairs}) must be a multiple of {CHUNK * SUBS} "
             "(CSR chunk size x kernel sub-chunks)"
         )
     n = mean2d.shape[0]
@@ -117,20 +116,26 @@ def bin_gaussians(
     if opacity is not None:
         # opacity-aware per-tile culling (EQUIVALENCE-preserving): the
         # compositor zeroes contributions with alpha < ALPHA_MIN
-        # (forward.cu:355 semantics), and alpha <= op * exp(-4.5 d^2/r^2)
-        # everywhere (lambda_min(conic) = 1/lambda_max(cov) = 9/r^2 at
-        # the 3-sigma radius), so a candidate tile whose NEAREST pixel to
-        # the mean lies beyond d_max = r * sqrt(ln(255 op)/4.5)
-        # contributes exactly zero — drop the pair before it ever hits
-        # the sort/kernel/backward. The CUDA reference streams these dead
-        # rect-corner pairs through its whole pipeline.
+        # (forward.cu:355 semantics), and alpha <= op * exp(-4.5 d^2/s^2)
+        # everywhere for s = the TRUE (uncapped) 3-sigma radius
+        # (lambda_min(conic) = 1/lambda_max(cov) = 9/s^2), so a candidate
+        # tile whose NEAREST pixel to the mean lies beyond
+        # d_max = s * sqrt(ln(255 op)/4.5) contributes exactly zero —
+        # drop the pair before it ever hits the sort/kernel/backward. The
+        # CUDA reference streams these dead rect-corner pairs through its
+        # whole pipeline. `cull_radius` MUST be the uncapped sigma3: the
+        # max_radius-capped footprint radius can be smaller than 3 sigma,
+        # and using it here would over-cull tiles of radius-capped
+        # Gaussians that still contribute alpha >= 1/255.
+        rc = r if cull_radius is None else cull_radius.astype(mx.dtype)
+        rc = jnp.maximum(rc, r)
         tlo_x = ((tx0[:, None] + d_tx) * tile).astype(mx.dtype)
         tlo_y = ((ty0[:, None] + d_ty) * tile).astype(mx.dtype)
         nx = jnp.clip(mx[:, None], tlo_x, tlo_x + (tile - 1))
         ny = jnp.clip(my[:, None], tlo_y, tlo_y + (tile - 1))
         d2 = (mx[:, None] - nx) ** 2 + (my[:, None] - ny) ** 2
         op = jnp.clip(opacity, 1.0 / 255.0, None)
-        dmax2 = (r * r * (jnp.log(255.0 * op) / 4.5))[:, None]
+        dmax2 = (rc * rc * (jnp.log(255.0 * op) / 4.5))[:, None]
         cand_ok = cand_ok & (d2 <= dmax2)
 
     touched = jnp.sum(cand_ok, axis=1).astype(jnp.int32)

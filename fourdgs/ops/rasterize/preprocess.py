@@ -40,6 +40,7 @@ class ScreenGaussians(NamedTuple):
     color: jax.Array    # (N, C) RGB (or flow channels)
     radius: jax.Array   # (N,) int32 pixel radius (0 = culled)
     visible: jax.Array  # (N,) bool — in frustum, alive, radius > 0
+    sigma3: jax.Array   # (N,) float UNCAPPED 3-sigma radius (cull bound)
 
 
 def _rotmat_components(quats: jax.Array):
@@ -223,7 +224,8 @@ def preprocess(
     # 3-sigma radius from the larger eigenvalue (forward.cu:205-210)
     mid = 0.5 * (c2a + c2c)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+    sigma3 = 3.0 * jnp.sqrt(lam1)
+    radius = jnp.ceil(sigma3)
     if max_radius is not None:
         radius = jnp.minimum(radius, float(max_radius))
     visible = alive & in_front & det_ok
@@ -238,4 +240,10 @@ def preprocess(
         color=colors,
         radius=radius,
         visible=visible,
+        # UNCAPPED 3-sigma radius: the binner's opacity-aware tile
+        # culling bound (alpha <= op * exp(-4.5 d^2 / sigma3^2)) is only
+        # sound against the true largest eigenvalue — using the
+        # max_radius-capped footprint radius there would over-cull tiles
+        # of radius-capped Gaussians
+        sigma3=jnp.where(visible, sigma3, 0.0),
     )

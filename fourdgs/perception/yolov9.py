@@ -389,14 +389,35 @@ def nms_numpy(boxes, scores, iou_th=0.45, max_det=100):
     return np.asarray(keep, np.int64)
 
 
+def _bilinear_sample(img: np.ndarray, ys: np.ndarray, xs: np.ndarray):
+    """Separable bilinear sampling of (..., H, W) at float row coords ys
+    (R,) and col coords xs (C,) -> (..., R, C). Half-pixel-center
+    convention (cv2 INTER_LINEAR / torch align_corners=False)."""
+    h, w = img.shape[-2], img.shape[-1]
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)
+    fx = np.clip(xs - x0, 0.0, 1.0)
+    top = img[..., y0, :] * (1 - fy)[:, None] + img[..., y1, :] * fy[:, None]
+    return (
+        top[..., :, x0] * (1 - fx)[None, :]
+        + top[..., :, x1] * fx[None, :]
+    )
+
+
 def letterbox(img_chw: np.ndarray, size: int = 640):
-    """Resize-with-pad to (size, size); returns (image, scale, (dx, dy))."""
+    """Resize-with-pad to (size, size); returns (image, scale, (dx, dy)).
+    BILINEAR resize (the ultralytics loader uses cv2 INTER_LINEAR —
+    nearest indexing produced aliased edges the torch model never sees at
+    inference, flipping borderline detections)."""
     c, h, w = img_chw.shape
     r = min(size / h, size / w)
     nh, nw = int(round(h * r)), int(round(w * r))
-    iy = (np.arange(nh) / r).astype(np.int64).clip(0, h - 1)
-    ix = (np.arange(nw) / r).astype(np.int64).clip(0, w - 1)
-    resized = img_chw[:, iy][:, :, ix]
+    ys = (np.arange(nh) + 0.5) / r - 0.5
+    xs = (np.arange(nw) + 0.5) / r - 0.5
+    resized = _bilinear_sample(img_chw, ys, xs).astype(np.float32)
     out = np.full((c, size, size), 0.447, np.float32)
     dy, dx = (size - nh) // 2, (size - nw) // 2
     out[:, dy:dy + nh, dx:dx + nw] = resized
@@ -432,16 +453,21 @@ class Yolov9Seg:
         if not sel_all.any():
             return mask_out
         idx = np.nonzero(sel_all)[0]
-        keep = nms_numpy(boxes[idx], cls_sc[idx], iou)
+        # PER-CLASS NMS (ultralytics offsets boxes by class id so boxes
+        # of different classes never suppress each other — e.g. a person
+        # sitting on a chair keeps both masks)
+        off = (cls_id[idx, None] * 4096.0).astype(np.float32)
+        keep = nms_numpy(boxes[idx] + off, cls_sc[idx], iou)
         nm, hp, wp = protos_np.shape
         for i in idx[keep]:
             m = 1.0 / (1.0 + np.exp(-(mcs[i] @ protos_np.reshape(nm, -1))))
             m = m.reshape(hp, wp)
-            # proto grid -> letterbox px -> original px
+            # proto grid -> letterbox px -> original px, BILINEAR like the
+            # reference's F.interpolate mask upsampling (half-pixel centers)
             sy = self.imgsz / hp
-            ys = ((np.arange(h) * r + dy) / sy).astype(np.int64).clip(0, hp - 1)
-            xs = ((np.arange(w) * r + dx) / sy).astype(np.int64).clip(0, wp - 1)
-            full = m[ys][:, xs] > 0.5
+            ys = ((np.arange(h) + 0.5) * r + dy) / sy - 0.5
+            xs = ((np.arange(w) + 0.5) * r + dx) / sy - 0.5
+            full = _bilinear_sample(m, ys, xs) > 0.5
             # crop to the detection box (original-image coordinates)
             x1 = int(max((boxes[i, 0] - dx) / r, 0))
             y1 = int(max((boxes[i, 1] - dy) / r, 0))

@@ -58,7 +58,11 @@ from fourdgs.models.deform import (
 )
 from fourdgs.models.gaussian_map import AdamState, GaussianMap, adam_step
 from fourdgs.ops.rasterize import rasterize
-from fourdgs.ops.rasterize.api import compute_bins_multi, rasterize_multi
+from fourdgs.ops.rasterize.api import (
+    compute_bins_multi,
+    ndc_project,
+    rasterize_multi,
+)
 from fourdgs.slam.camera import Intrinsics
 from fourdgs.slam.keyframes import KeyframeStore
 from fourdgs.slam.losses import (
@@ -120,12 +124,6 @@ def phase_weights(i, num_iters, flow_weight: float,
     fine = flow_weight if flow_weight_fine is None else flow_weight_fine
     flow_w = jnp.where(dynamic, flow_weight, fine)
     return dynamic, flow_w
-
-
-def _ndc(x, full):
-    hom = x @ full[:3, :3].T + full[:3, 3]
-    w = x @ full[3, :3].T + full[3, 3]
-    return hom / (w[:, None] + 1e-7)
 
 
 def _deformed_render(gmap: GaussianMap, cn: ControlNodes, T_cw, t, proj,
@@ -279,7 +277,7 @@ def map_chunk_dynamic(
         dy = gmap.dygs.astype(jnp.float32)[:, None]
 
         def flows(x1v, x2v, Tv, Tp):
-            f = _ndc(x2v, proj @ Tp) - _ndc(x1v, proj @ Tv)
+            f = ndc_project(x2v, proj @ Tp) - ndc_project(x1v, proj @ Tv)
             return jnp.concatenate([f[:, :2], dy], axis=1)
 
         flow12 = jax.vmap(flows)(
@@ -423,15 +421,77 @@ def map_chunk_dynamic(
 
             def shard_fn(view_ids_l, taps_l):
                 def local_loss(params, cn_fp, dtaus_l, dexps_l, tp):
-                    means, scales, quats, opacs, colors, T_all, cn_p = (
-                        assemble_views(params, cn_fp, dtaus_l, slots, store)
-                    )
+                    # assemble ONLY the local views: each global view id
+                    # maps to (kind, window index) and needs at most two
+                    # deform warps — materializing the full vt-view
+                    # geometry per device (and backpropping through it)
+                    # would replicate the deformation stage ndev times
+                    from fourdgs.geometry.quaternion import quat_normalize
+                    from fourdgs.geometry.sh import sh0_to_rgb
+
+                    cn_p = cn_merge(cn_fp, cn_valid)
+                    sgd = jax.lax.stop_gradient
+                    xyz = params.xyz
+                    scl = jnp.exp(params.scaling)
+                    qts = quat_normalize(params.rotation)
+                    opa = jax.nn.sigmoid(params.opacity)[:, 0]
+                    rgb = sh0_to_rgb(params.f_dc)
+                    dy = gmap_s.dygs.astype(jnp.float32)[:, None]
+                    t_views = store.times[slots]
+                    t_pairs = store.times[pair_c]
+
+                    def one_view(v):
+                        is_main = v < nv
+                        is_fb = (v >= nv) & (v < nv + vw)
+                        k_m = jnp.minimum(v, nv - 1)
+                        k_f = jnp.clip(
+                            jnp.where(is_fb, v - nv, v - nv - vw), 0, vw - 1
+                        )
+                        k_t = jnp.where(is_main, k_m, k_f)
+                        t_a = t_views[k_t]
+                        t_b = jnp.where(is_main, t_a, t_pairs[k_f])
+                        da = warp(cn_p, sgd(xyz), t_a,
+                                  motion_mask=gmap_s.dygs)
+                        db = warp(cn_p, sgd(xyz), t_b,
+                                  motion_mask=gmap_s.dygs)
+                        T_v = se3_exp(dtaus_l[k_t]) @ store.T_cw[
+                            slots[k_t]
+                        ]
+                        T_p = store.T_cw[pair_c[k_f]]
+                        x1 = sgd(xyz) + da[0]
+                        x2 = sgd(xyz) + db[0]
+                        f = (ndc_project(x2, proj @ T_p)
+                             - ndc_project(x1, proj @ T_v))
+                        fsign = jnp.where(is_fb, 1.0, -1.0)
+                        payload = jnp.concatenate(
+                            [fsign * f[:, :2], dy], axis=1
+                        )
+                        mean = jnp.where(
+                            is_main, xyz + da[0], jnp.where(is_fb, x1, x2)
+                        )
+                        scale = jnp.where(
+                            is_main, scl + da[2],
+                            jnp.where(is_fb, sgd(scl) + da[2],
+                                      sgd(scl) + db[2]),
+                        )
+                        quat = jnp.where(
+                            is_main, qts + da[1],
+                            jnp.where(is_fb, sgd(qts) + da[1],
+                                      sgd(qts) + db[1]),
+                        )
+                        opac_v = jnp.where(is_main, opa, sgd(opa))
+                        color_v = jnp.where(is_main, rgb, payload)
+                        T_r = jnp.where(is_main | is_fb, T_v, T_p)
+                        return mean, scale, quat, opac_v, color_v, T_r
+
                     vids = jnp.minimum(view_ids_l, vt - 1)
                     ok = view_ids_l < vt
+                    means, scales, quats, opacs, colors, T_all = jax.vmap(
+                        one_view
+                    )(vids)
                     out = rasterize_multi(
-                        means[vids], scales[vids], quats[vids],
-                        opacs[vids], colors[vids], gmap_s.alive,
-                        T_all[vids], proj, jnp.zeros(3),
+                        means, scales, quats, opacs, colors, gmap_s.alive,
+                        T_all, proj, jnp.zeros(3),
                         mean2d_offsets=tp, config=cfg.raster, **kw,
                     )
                     # per-view losses on the local slice: rebuild the

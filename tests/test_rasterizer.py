@@ -249,3 +249,33 @@ def test_pose_gradient_descends():
     gn = g / (jnp.linalg.norm(g) + 1e-8)
     losses = [float(phot(tau0 - s * gn)) for s in (0.002, 0.005, 0.01, 0.02)]
     assert min(losses) < l0
+
+
+def test_radius_capped_gaussian_not_over_culled():
+    """Opacity-aware tile culling must use the UNCAPPED 3-sigma radius:
+    for a Gaussian whose footprint radius is capped by config.max_radius
+    and whose opacity is low (common mid-optimization), the capped
+    radius understates the true spread and (before the fix) dropped
+    in-rect tiles whose alpha is still above 1/255 — the CSR render then
+    diverged from the oracle on exactly those tiles. Same max_rect on
+    both paths -> identical footprint rects, so full-image parity must
+    be exact."""
+    # sigma ~ 16 px at z=3 (fx=60): 3-sigma 48 -> radius capped to 24
+    means = jnp.asarray([[0.0, 0.0, 3.0]], jnp.float32)
+    scales = jnp.full((1, 3), 0.8, jnp.float32)
+    quats = jnp.asarray([[1.0, 0, 0, 0]], jnp.float32)
+    opac = jnp.asarray([0.05], jnp.float32)   # low op shrinks d_max
+    colors = jnp.asarray([[1.0, 0.5, 0.25]], jnp.float32)
+    alive = jnp.ones(1, bool)
+    T = jnp.eye(4, dtype=jnp.float32)
+
+    kw = dict(fx=FX, fy=FY, width=W, height=H, tan_fovx=TANX, tan_fovy=TANY)
+    out_o = rasterize(means, scales, quats, opac, colors, alive, T, PROJ,
+                      BG, config=CFG_ORACLE, **kw)
+    out_p = rasterize(means, scales, quats, opac, colors, alive, T, PROJ,
+                      BG, config=CFG_PALLAS, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out_p.color), np.asarray(out_o.color), atol=5e-4,
+    )
+    # the far in-rect tiles genuinely contribute (alpha ~ 0.02 there)
+    assert float(np.asarray(out_o.alpha)[2, 8]) > 1e-3
