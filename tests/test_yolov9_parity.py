@@ -496,3 +496,27 @@ def test_provider_selection_prefers_jax_yolo(tmp_path):
         {"Dataset": {"yolo_weights": str(tmp_path / "nope.pt")}}
     )
     assert isinstance(make_segmenter(cfg_missing, intr), MotionSegmenter)
+
+
+def test_bilinear_sample_matches_torch_interpolate():
+    """_bilinear_sample's half-pixel-center convention must match
+    torch F.interpolate(mode='bilinear', align_corners=False) — the
+    reference's letterbox (cv2 INTER_LINEAR) and proto-mask upsampling
+    use exactly this mapping."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    from fourdgs.perception.yolov9 import _bilinear_sample
+
+    rng = np.random.default_rng(11)
+    img = rng.uniform(size=(3, 24, 32)).astype(np.float32)
+    oh, ow = 37, 51
+    ys = (np.arange(oh) + 0.5) * (24 / oh) - 0.5
+    xs = (np.arange(ow) + 0.5) * (32 / ow) - 0.5
+    got = _bilinear_sample(img, ys, xs)
+    want = F.interpolate(
+        torch.from_numpy(img)[None], size=(oh, ow), mode="bilinear",
+        align_corners=False,
+    )[0].numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
