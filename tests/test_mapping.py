@@ -54,21 +54,24 @@ def _poses():
     return [np.asarray(se3_exp(jnp.asarray(t, jnp.float32))) for t in taus]
 
 
-def _setup():
+def _setup(intr=INTR, cap=2048, downsample=3, min_n=800):
     img, depth = _gt_scene()
+    if (intr.height, intr.width) != (INTR.height, INTR.width):
+        img = img[:, :intr.height, :intr.width]
+        depth = depth[:intr.height, :intr.width]
     # Single RGB-D observation defines the "GT" for all views by warping
     # is complex; instead use the same image/depth for the anchor view and
     # initialize the map from it.
-    gmap = empty_map(2048)
-    adam = init_adam(2048)
+    gmap = empty_map(cap)
+    adam = init_adam(cap)
     cands = candidates_from_rgbd(
         jax.random.key(0), img, depth, jnp.eye(4),
-        INTR.fx, INTR.fy, INTR.cx, INTR.cy,
-        downsample=3, max_new=2048,
+        intr.fx, intr.fy, intr.cx, intr.cy,
+        downsample=downsample, max_new=cap,
     )
     gmap, adam, n = insert(gmap, adam, cands, kf_id=0)
-    assert int(n) > 800
-    store = empty_store(8, INTR.height, INTR.width)
+    assert int(n) > min_n
+    store = empty_store(8, intr.height, intr.width)
     frame = make_frame(0, img, depth, jnp.eye(4), time=0.0)
     store = store_keyframe(store, 0, frame, jnp.eye(4), jnp.zeros(2))
     return gmap, adam, store, img, depth
@@ -87,14 +90,16 @@ def test_map_chunk_reduces_loss_and_improves_psnr():
     res = map_chunk(
         gmap, adam, store, window_slots, window_valid, opt_pose,
         rand_pool, jnp.int32(0), init_pose_adam(2), jax.random.key(1),
-        jnp.int32(40), jnp.int32(-1), jnp.int32(0), INTR, CFG,
+        jnp.int32(15), jnp.int32(-1), jnp.int32(0), INTR, CFG,
     )
     out1 = render_keyframe(res.gmap, res.store, jnp.int32(0), INTR, CFG)
     psnr1 = float(psnr(out1.color, img))
     assert np.isfinite(float(res.final_loss))
-    assert psnr1 > psnr0 + 3.0, (psnr0, psnr1)
-    # depth should move toward GT where confidently rendered (40 iters of
-    # a fresh map: coarse agreement, tight fit needs the full schedule)
+    # 15 iters on a 1-core CI box: direction, not convergence (the full
+    # schedule is exercised by the slow-marked e2e runs)
+    assert psnr1 > psnr0 + 1.0, (psnr0, psnr1)
+    # depth should move toward GT where confidently rendered (few iters
+    # of a fresh map: coarse agreement, tight fit needs the full schedule)
     gt = np.asarray(depth)
     # depth error (confident pixels) must not regress vs the fresh map
     def med_err(out):
@@ -110,7 +115,10 @@ def test_map_chunk_reduces_loss_and_improves_psnr():
 def test_map_chunk_pose_refinement():
     """Perturb the stored keyframe pose; with opt_pose on, mapping should
     pull it back toward the true pose while fitting the map."""
-    gmap, adam, store, img, depth = _setup()
+    # half-size map: pose-gradient direction is independent of density,
+    # and this is one of the costliest fast-gate tests on the 1-core box
+    gmap, adam, store, img, depth = _setup(cap=1024, downsample=4,
+                                           min_n=400)
     tau = jnp.array([0.02, -0.01, 0.01, 0.004, -0.003, 0.002])
     T_pert = se3_exp(tau) @ jnp.eye(4)
     # second slot: same observations, perturbed pose estimate, uid != 0
@@ -125,7 +133,7 @@ def test_map_chunk_pose_refinement():
     res = map_chunk(
         gmap, adam, store, window_slots, window_valid, opt_pose,
         jnp.zeros(8, jnp.int32), jnp.int32(0), init_pose_adam(2),
-        jax.random.key(2), jnp.int32(50), jnp.int32(-1), jnp.int32(0),
+        jax.random.key(2), jnp.int32(25), jnp.int32(-1), jnp.int32(0),
         INTR, CFG,
     )
     err1 = float(jnp.linalg.norm(res.store.T_cw[1][:3, 3]))

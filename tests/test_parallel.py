@@ -12,6 +12,8 @@ from fourdgs.slam.camera import Intrinsics
 from tests.test_tracking import build_map  # reuse synthetic map builder
 
 INTR = Intrinsics(fx=80.0, fy=80.0, cx=39.5, cy=29.5, width=80, height=60)
+# small-scene intrinsics for the mesh-vs-single equivalence tests
+INTR_S = Intrinsics(fx=60.0, fy=60.0, cx=23.5, cy=15.5, width=48, height=32)
 RASTER = RasterConfig(use_oracle=True)
 
 
@@ -65,10 +67,13 @@ def test_map_chunk_sharded_matches_single_device(mesh):
     mesh, map replicated, grads psum'd) must match the single-device
     `map_chunk` — same window/replay picks, pose+exposure optimization,
     isotropic loss, densification stats — after several iterations."""
-    from tests.test_mapping import CFG, INTR as MINTR, _setup
+    from tests.test_mapping import CFG, _setup
     from fourdgs.slam.mapping import init_pose_adam, map_chunk
 
-    gmap, adam, store, img, depth = _setup()
+    MINTR = INTR_S  # small scene: equivalence is scale-independent and
+    #                 8 virtual devices serialize on this 1-core box
+    gmap, adam, store, img, depth = _setup(MINTR, cap=512, downsample=4,
+                                           min_n=100)
     window_slots = jnp.array([0, 0], jnp.int32)
     window_valid = jnp.array([True, False])
     opt_pose = jnp.array([False, True])
@@ -107,9 +112,11 @@ def test_map_chunk_dynamic_sharded_matches_single_device(mesh):
     from fourdgs.slam.keyframes import store_keyframe
     from fourdgs.slam.mapping import init_pose_adam
     from fourdgs.slam.mapping_dynamic import init_deform_adam, map_chunk_dynamic
-    from tests.test_mapping import CFG, INTR as MINTR, _setup
+    from tests.test_mapping import CFG, _setup
 
-    gmap, adam, store, img, depth = _setup()
+    MINTR = INTR_S
+    gmap, adam, store, img, depth = _setup(MINTR, cap=512, downsample=4,
+                                           min_n=100)
     # mark a block of alive Gaussians dynamic and hang control nodes on them
     dygs = np.zeros(gmap.capacity, bool)
     dygs[np.nonzero(np.asarray(gmap.alive))[0][:64]] = True
