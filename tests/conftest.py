@@ -35,7 +35,7 @@ if not os.path.isdir(_cache_dir) and os.path.exists(_seed):
     with tarfile.open(_seed) as _tf:
         _tf.extractall(_cache_dir, filter="data")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
