@@ -92,8 +92,13 @@ def test_slam_ate(slam_run):
 
 def test_slam_rendering_quality(slam_run):
     res = slam_run.eval_rendering("test", interval=5)
-    assert res["mean_psnr"] is not None and res["mean_psnr"] > 17.0, res
-    assert res["mean_l1_depth"] is not None and res["mean_l1_depth"] < 0.5
+    # drift guards, recalibrated after the round-3 parity fixes: metrics
+    # are now computed over ALL frames at estimated poses (stride 5),
+    # reference semantics — non-keyframe frames render worse than the
+    # mapped keyframes the old numbers reflected (measured on this box:
+    # psnr 16.2, l1 depth 0.93; a fresh map scores ~10-12 / >2)
+    assert res["mean_psnr"] is not None and res["mean_psnr"] > 15.0, res
+    assert res["mean_l1_depth"] is not None and res["mean_l1_depth"] < 1.2, res
 
 
 def test_slam_ply_roundtrip(slam_run, tmp_path):
