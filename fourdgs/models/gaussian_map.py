@@ -143,8 +143,18 @@ def resize_map(gmap: GaussianMap, adam: AdamState, new_capacity: int):
         return jnp.argsort(~gmap.alive, stable=True)[:new_capacity]
 
     if new_capacity >= old:
+        # pad params with the SAFE dead-slot defaults (empty_map), never
+        # zeros: a zero quaternion in a dead slot NaNs the normalize VJP
+        # (0/0 under a zero cotangent is still NaN), and the NaN then
+        # leaks into the dead slot's params and eventually into densify
+        # stats — the bug class tests/test_e2e_kernel_path.py guards
+        fresh = empty_map(new_capacity).params
+
+        def grow_param(x, f):
+            return f.at[:old].set(x) if new_capacity > old else x
+
         gmap2 = GaussianMap(
-            params=jax.tree.map(grow, gmap.params),
+            params=jax.tree.map(grow_param, gmap.params, fresh),
             alive=grow(gmap.alive),
             dygs=grow(gmap.dygs),
             kf_id=grow(gmap.kf_id),
@@ -206,10 +216,14 @@ def adam_step(
         mu = b1 * getattr(state.mu, name) + (1 - b1) * g
         nu = b2 * getattr(state.nu, name) + (1 - b2) * g * g
         step = lr_map[name] * (mu / c1) / (jnp.sqrt(nu / c2) + eps)
-        mask = alive.astype(p.dtype).reshape((-1,) + (1,) * (p.ndim - 1))
-        new_p[name] = p - step * mask
-        new_mu[name] = mu * mask
-        new_nu[name] = nu * mask
+        # where-gating, not multiply-gating: a NaN gradient on a dead slot
+        # (autodiff through degenerate dead-slot activations emits NaN
+        # even under zero cotangents) must not poison the slot — NaN * 0
+        # is still NaN
+        mask = alive.reshape((-1,) + (1,) * (p.ndim - 1))
+        new_p[name] = jnp.where(mask, p - step, p)
+        new_mu[name] = jnp.where(mask, mu, 0.0)
+        new_nu[name] = jnp.where(mask, nu, 0.0)
     return GaussianParams(**new_p), AdamState(
         mu=GaussianParams(**new_mu), nu=GaussianParams(**new_nu), count=count
     )

@@ -249,8 +249,16 @@ class SLAM:
 
     def _raster_for_capacity(self, capacity: int) -> RasterConfig:
         """Scale the static pair/tile capacities with the map bucket —
-        everything in the render scales with these shapes."""
-        max_pairs = int(min(1 << 18, max(1 << 15, capacity * 8)))
+        everything in the render scales with these shapes. The floor
+        respects an explicitly smaller base config (interpret-mode tests
+        run the production kernel path at tiny shapes)."""
+        floor = min(1 << 15, self._raster_base.max_pairs)
+        max_pairs = int(min(1 << 18, max(floor, capacity * 8)))
+        # CSR grid granularity: round up to a CHUNK*SUBS multiple
+        from fourdgs.ops.rasterize.tile_kernel import CHUNK, SUBS
+
+        gran = CHUNK * SUBS
+        max_pairs = -(-max_pairs // gran) * gran
         return self._raster_base._replace(max_pairs=max_pairs)
 
     def _refresh_configs(self):
@@ -515,12 +523,14 @@ class SLAM:
         # tests/test_cadence.py (slam_backend.py:336-338,723-745)
         from fourdgs.slam.cadence import mapping_cadence
 
+        perf_detail = bool(os.environ.get("FOURDGS_PERF_DETAIL"))
         done = 0
         for chunk, new_it, fire in mapping_cadence(
             total_iters, step_after, self.iteration_count,
             self.gaussian_update_every, self.gaussian_update_offset,
             self.gaussian_reset, densify=densify, reset=reset_cadence,
         ):
+            _ct = time.time()
             res = map_chunk(
                 self.gmap, self.adam, self.store,
                 slots, valid, opt_pose, pool, pool_size, pose_adam,
@@ -536,6 +546,12 @@ class SLAM:
             )
             done += chunk
             self.iteration_count = new_it
+            if perf_detail:
+                jax.block_until_ready(self.gmap.params.xyz)
+                Log(
+                    f"map_chunk {chunk} iters: {time.time() - _ct:.2f}s "
+                    f"(fire={fire})", tag="Perf",
+                )
 
             if fire == "densify":
                 self.gmap, self.adam = gm.densify_and_prune(
@@ -821,11 +837,12 @@ class SLAM:
             if create_kf:
                 _pt = time.time()
                 self._handle_keyframe(idx, frame, curr_visibility)
-                self._phase["keyframe"] += time.time() - _pt
+                _kf_dt = time.time() - _pt
+                self._phase["keyframe"] += _kf_dt
                 last_kf = idx
                 Log(
                     f"KF {idx}: {int(self.gmap.num_alive)} gaussians, "
-                    f"window {self.window}", tag="Backend",
+                    f"window {self.window} ({_kf_dt:.1f}s)", tag="Backend",
                 )
                 # periodic ATE evaluation (reference slam_frontend.py:798-811)
                 intv = int(self.config.get("Results", {}).get("save_trj_kf_intv", 5))

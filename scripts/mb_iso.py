@@ -1,6 +1,8 @@
 """Isolate the TPU fault: standalone rasterize_multi fwd / fwd+bwd."""
+import os
 import sys
-sys.path.insert(0, "/root/repo")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import jax, jax.numpy as jnp
 import numpy as np
@@ -13,7 +15,7 @@ from fourdgs.models.gaussian_map import (
 )
 from fourdgs.ops.rasterize import RasterConfig
 from fourdgs.ops.rasterize.api import rasterize_multi, compute_bins_multi
-from fourdgs.slam.camera import Intrinsics, make_frame
+from fourdgs.slam.camera import Intrinsics
 from fourdgs.geometry import se3_exp
 
 W, H = 640, 480

@@ -1,6 +1,9 @@
 """On-chip microbench: map_chunk per-iteration cost at production shapes."""
-import time, sys
-import sys, os; sys.path.insert(0, "/root/repo")
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 import numpy as np
 
@@ -20,7 +23,7 @@ from fourdgs.geometry import se3_exp
 
 W, H = 640, 480
 intr = Intrinsics(fx=535.4, fy=539.2, cx=320.1, cy=247.6, width=W, height=H)
-cap = 16384
+cap = int(os.environ.get("MB_CAP", 16384))
 max_pairs = int(min(1 << 18, max(1 << 15, cap * 8)))
 raster = RasterConfig(max_pairs=max_pairs, with_n_touched=False)
 
