@@ -191,6 +191,8 @@ def rasterize(
         n_touched=nt,
         T_final=t_final,
         radii=jax.lax.stop_gradient(sg.radius),
+        overflow=bins.overflow,
+        num_pairs=bins.num_pairs,
     )
 
 
@@ -489,4 +491,6 @@ def rasterize_multi(
         n_touched=nt,
         T_final=t_final,
         radii=jax.lax.stop_gradient(sg.radius),
+        overflow=jnp.any(bins.overflow),
+        num_pairs=jnp.max(bins.num_pairs),
     )

@@ -45,6 +45,14 @@ class RenderOutputs(NamedTuple):
     n_touched: jax.Array  # (N,) int32
     T_final: jax.Array    # (H, W)
     radii: jax.Array      # (N,) int32 screen-space radius (0 = culled)
+    # () bool — the pair buffer overflowed (pairs were dropped; the
+    # caller must re-render at a larger max_pairs for exact results).
+    # Always False on the oracle path (it has no pair buffer).
+    overflow: jax.Array
+    # () int32 — real (tile, gaussian) pairs this render binned (max over
+    # views on the multi path); drives occupancy-adaptive max_pairs
+    # sizing in the runner. 0 on the oracle path.
+    num_pairs: jax.Array
 
 
 def composite_oracle(
@@ -111,4 +119,6 @@ def composite_oracle(
         n_touched=n_touched,
         T_final=T_final.reshape(height, width),
         radii=sg.radius,
+        overflow=jnp.zeros((), bool),
+        num_pairs=jnp.zeros((), jnp.int32),
     )

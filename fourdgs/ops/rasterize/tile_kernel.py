@@ -677,7 +677,16 @@ def _ccsrm_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
     )
     p = dpairs.shape[1] // v
     drows = dpairs.T.reshape(v, p, NUM_FIELDS)
-    g_all = jax.vmap(reduce_aligned_by_gaussian)(drows, cand_aligned)
+    # PER-VIEW gathers, not vmap: batching the reduction gather into one
+    # 3D gather makes XLA emit a single serialized row-walk over all
+    # V*(N+1)*R rows (~21 ns/row — 114 ms at 10 views x 32K bucket, 54%
+    # of the whole mapping fwd+bwd, the round-3 mapping regression);
+    # sequential 2D per-view gathers run ~4.5x faster at identical
+    # results (chip-measured, scripts/mb_gather.py)
+    g_all = jax.lax.map(
+        lambda a: reduce_aligned_by_gaussian(a[0], a[1]),
+        (drows, cand_aligned),
+    )
     return (g_all[..., :NUM_GEO], g_all[..., NUM_GEO:],
             None, None, None, None, None, None, None, None)
 

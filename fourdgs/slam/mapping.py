@@ -125,6 +125,8 @@ class MapChunkResult(NamedTuple):
     store: KeyframeStore
     pose_adam: PoseAdam
     final_loss: jax.Array
+    overflow: jax.Array    # () bool — any render overflowed its pair buffer
+    num_pairs: jax.Array   # () int32 — max pairs per view seen in the chunk
 
 
 def _render_view(gmap: GaussianMap, T_cw, proj, intr: Intrinsics, cfg: MappingConfig,
@@ -254,7 +256,9 @@ def _view_set_loss(
 
     total = jnp.sum(jnp.where(valids, per_view, 0.0))
     radii_oks = (out.radii > 0) & valids[:, None]
-    return total, radii_oks
+    # scalars on both compositor paths (the oracle path vmaps the whole
+    # render, so its flags arrive per-view)
+    return total, (radii_oks, jnp.any(out.overflow), jnp.max(out.num_pairs))
 
 
 @partial(jax.jit, static_argnames=("intr", "cfg", "mesh"))
@@ -312,7 +316,7 @@ def map_chunk(
     )
 
     def body(i, state, bins_w):
-        gmap, adam, store, pose_adam, _ = state
+        gmap, adam, store, pose_adam, _, ov_seen, pm_seen = state
         ki = jax.random.fold_in(key, i)
 
         if cfg.refine:
@@ -365,16 +369,18 @@ def map_chunk(
 
             def loss_fn(params, dtaus, dexps, taps):
                 g = gmap._replace(params=params)
-                total, radii_oks = _view_set_loss(
+                total, aux = _view_set_loss(
                     g, store, slots, valids, dtaus, dexps, taps, ems,
                     proj, intr, cfg, bins=bins,
                 )
-                return total + iso_fn(params), radii_oks
+                return total + iso_fn(params), aux
 
-            (loss_val, radii_oks), grads = jax.value_and_grad(
+            (loss_val, (radii_oks, ov_i, pm_i)), grads = jax.value_and_grad(
                 loss_fn, argnums=(0, 1, 2, 3), has_aux=True
             )(gmap.params, dtaus, dexps, taps)
             g_params, g_taus, g_exps, g_taps = grads
+            ov_seen = ov_seen | ov_i
+            pm_seen = jnp.maximum(pm_seen, pm_i)
         else:
             # views sharded over the mesh axis, map replicated: each device
             # renders nvp/ndev views and backprops them; param-grads and the
@@ -390,23 +396,28 @@ def map_chunk(
                         proj, intr, cfg,
                     )
 
-                (l, radii_l), gr = jax.value_and_grad(
+                (l, (radii_l, ov_l, pm_l)), gr = jax.value_and_grad(
                     local_loss, argnums=(0, 1, 2, 3), has_aux=True
                 )(gmap.params, dtaus_l, dexps_l, taps_l)
                 return (
                     jax.lax.psum(l, ax), radii_l,
+                    jax.lax.pmax(ov_l.astype(jnp.int32), ax),
+                    jax.lax.pmax(pm_l, ax),
                     jax.lax.psum(gr[0], ax), gr[1], gr[2], gr[3],
                 )
 
-            loss_views, radii_oks, g_params, g_taus, g_exps, g_taps = shard_map(
+            (loss_views, radii_oks, ov_i, pm_i,
+             g_params, g_taus, g_exps, g_taps) = shard_map(
                 shard_fn, mesh=mesh,
                 in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
-                out_specs=(P(), P(ax), P(), P(ax), P(ax), P(ax)),
+                out_specs=(P(), P(ax), P(), P(), P(), P(ax), P(ax), P(ax)),
                 check_vma=False,
             )(slots, valids, dtaus, dexps, taps, ems)
             iso_val, iso_grad = jax.value_and_grad(iso_fn)(gmap.params)
             loss_val = loss_views + iso_val
             g_params = jax.tree.map(jnp.add, g_params, iso_grad)
+            ov_seen = ov_seen | (ov_i > 0)
+            pm_seen = jnp.maximum(pm_seen, pm_i)
 
         # --- densification stats (reference :749-760 uses radii>0) ---
         norms = jnp.linalg.norm(g_taps, axis=-1)              # (V, cap)
@@ -445,7 +456,7 @@ def map_chunk(
             # color refinement steps ONLY the map parameters (reference
             # slam_backend.py:845-855: gaussian optimizer alone; poses and
             # exposures are fixed)
-            return (gmap, adam, store, pose_adam, loss_val)
+            return (gmap, adam, store, pose_adam, loss_val, ov_seen, pm_seen)
 
         # --- pose + exposure step for window views ---
         gp = jnp.concatenate([g_taus[:vw], g_exps[:vw]], axis=1)  # (Vw, 8)
@@ -477,7 +488,7 @@ def map_chunk(
         )
         pose_adam = PoseAdam(mu=mu, nu=nu, count=count)
 
-        return (gmap, adam, store, pose_adam, loss_val)
+        return (gmap, adam, store, pose_adam, loss_val, ov_seen, pm_seen)
 
     # Two-level loop: the OUTER fori runs rounds of rebin_every
     # iterations; window-view binning is computed unconditionally at the
@@ -511,12 +522,14 @@ def map_chunk(
             return body(r, state, bins_w)
         return jax.lax.fori_loop(0, rb, inner, state)
 
-    init = (gmap, adam, store, pose_adam, jnp.asarray(jnp.inf, jnp.float32))
-    gmap, adam, store, pose_adam, loss_val = jax.lax.fori_loop(
+    init = (gmap, adam, store, pose_adam, jnp.asarray(jnp.inf, jnp.float32),
+            jnp.zeros((), bool), jnp.zeros((), jnp.int32))
+    gmap, adam, store, pose_adam, loss_val, ov_seen, pm_seen = jax.lax.fori_loop(
         0, n_rounds, round_body, init
     )
     return MapChunkResult(
-        gmap=gmap, adam=adam, store=store, pose_adam=pose_adam, final_loss=loss_val
+        gmap=gmap, adam=adam, store=store, pose_adam=pose_adam,
+        final_loss=loss_val, overflow=ov_seen, num_pairs=pm_seen,
     )
 
 

@@ -144,6 +144,11 @@ class SLAM:
             # vs the oracle is pinned by tests/test_rasterizer.py.
             raster = RasterConfig(use_oracle=_jax.default_backend() == "cpu")
         self._raster_base = raster
+        # occupancy-adaptive pair budget: measured high-water mark of real
+        # (tile, gaussian) pairs per view and an overflow-driven floor;
+        # 0 = no measurement yet (fall back to the capacity heuristic)
+        self._pairs_hwm = 0
+        self._pairs_floor = 0
         self.raster = self._raster_for_capacity(capacity)
         self.track_cfg = TrackingConfig(
             max_iters=self.tracking_itr_num,
@@ -248,18 +253,68 @@ class SLAM:
                 pass
 
     def _raster_for_capacity(self, capacity: int) -> RasterConfig:
-        """Scale the static pair/tile capacities with the map bucket —
-        everything in the render scales with these shapes. The floor
-        respects an explicitly smaller base config (interpret-mode tests
-        run the production kernel path at tiny shapes)."""
+        """Size the pair budget (max_pairs): every downstream shape — the
+        binning sorts, the pair gathers, the Pallas chunk grid, the
+        backward reduction — scales with it, so right-sizing it is worth
+        3-5x on a mapping iteration at typical occupancy. Sized from the
+        MEASURED per-view pair high-water mark (3x headroom, power-of-two
+        buckets from the floor) once one exists; the worst-case
+        capacity*8 heuristic until then. Overflow is tracked per render
+        (TileBins.overflow -> TrackResult/MapChunkResult) and the runner
+        bumps `_pairs_floor` and re-runs the affected program, so
+        right-sizing never silently drops pairs (the CUDA reference
+        reallocates its buffers on demand the same way,
+        rasterizer_impl.cu resizeFunctional). The floor respects an
+        explicitly smaller base config (interpret-mode tests run the
+        production kernel path at tiny shapes)."""
         floor = min(1 << 15, self._raster_base.max_pairs)
-        max_pairs = int(min(1 << 18, max(floor, capacity * 8)))
+        ceiling = int(min(1 << 18, max(floor, capacity * 8)))
+        if self._pairs_hwm > 0:
+            need = max(floor, min(3 * self._pairs_hwm, ceiling))
+        else:
+            need = ceiling
+        need = max(need, min(self._pairs_floor, 1 << 18))
+        bucket = floor
+        while bucket < need:
+            bucket *= 2
+        max_pairs = bucket
         # CSR grid granularity: round up to a CHUNK*SUBS multiple
         from fourdgs.ops.rasterize.tile_kernel import CHUNK, SUBS
 
         gran = CHUNK * SUBS
         max_pairs = -(-max_pairs // gran) * gran
         return self._raster_base._replace(max_pairs=max_pairs)
+
+    def _rebucket_pairs(self) -> bool:
+        """Re-size the pair budget to the current high-water mark; called
+        at keyframe boundaries (and after overflows) so recompiles never
+        land mid-tracking. Returns True if the bucket changed."""
+        new = self._raster_for_capacity(self.gmap.capacity)
+        if new.max_pairs == self.raster.max_pairs:
+            return False
+        Log(
+            f"Pair budget {self.raster.max_pairs} -> {new.max_pairs} "
+            f"(hwm {self._pairs_hwm}, floor {self._pairs_floor})",
+            tag="Perf",
+        )
+        self.raster = new
+        self._refresh_configs()
+        return True
+
+    def _note_pairs(self, num_pairs, overflow) -> bool:
+        """Fold one finished program's pair stats into the high-water
+        mark. On overflow, raise the floor and re-bucket immediately;
+        returns True when the caller should RE-RUN the program (its
+        output dropped pairs)."""
+        self._pairs_hwm = max(self._pairs_hwm, int(num_pairs))
+        if not bool(overflow):
+            return False
+        if self.raster.max_pairs >= (1 << 18):
+            Log("pair buffer overflow at the 1<<18 ceiling; pairs dropped",
+                tag="Perf")
+            return False
+        self._pairs_floor = self.raster.max_pairs * 2
+        return self._rebucket_pairs()
 
     def _refresh_configs(self):
         self.track_cfg = self.track_cfg._replace(
@@ -531,16 +586,23 @@ class SLAM:
             self.gaussian_reset, densify=densify, reset=reset_cadence,
         ):
             _ct = time.time()
-            res = map_chunk(
-                self.gmap, self.adam, self.store,
-                slots, valid, opt_pose, pool, pool_size, pose_adam,
-                self._next_key(),
-                jnp.int32(chunk), jnp.int32(step_after - done),
-                jnp.int32(self.iteration_count),
-                self.intr, self.map_cfg,
-                extra_masks=extra_masks,
-                mesh=self.mesh,
-            )
+            pre_state = (self.gmap, self.adam, self.store, pose_adam)
+            for _ in range(4):
+                res = map_chunk(
+                    pre_state[0], pre_state[1], pre_state[2],
+                    slots, valid, opt_pose, pool, pool_size, pre_state[3],
+                    self._next_key(),
+                    jnp.int32(chunk), jnp.int32(step_after - done),
+                    jnp.int32(self.iteration_count),
+                    self.intr, self.map_cfg,
+                    extra_masks=extra_masks,
+                    mesh=self.mesh,
+                )
+                # overflowed renders dropped pairs: bump the budget and
+                # re-run the whole chunk from its pre-state (functional
+                # state makes the redo exact and free to arrange)
+                if not self._note_pairs(res.num_pairs, res.overflow):
+                    break
             self.gmap, self.adam, self.store, pose_adam = (
                 res.gmap, res.adam, res.store, res.pose_adam
             )
@@ -648,14 +710,19 @@ class SLAM:
             boundary = self.init_gaussian_update - (done % self.init_gaussian_update)
             to_reset = self.init_gaussian_reset - done
             chunk = int(min(self.init_itr_num - done, boundary, to_reset if to_reset > 0 else 1 << 30))
-            res = map_chunk(
-                self.gmap, self.adam, self.store, slots, valid, opt_pose,
-                pool, jnp.int32(0), pose_adam, self._next_key(),
-                jnp.int32(chunk), jnp.int32(-1),
-                jnp.int32(self.iteration_count),
-                self.intr, self.map_cfg,
-                mesh=self.mesh,
-            )
+            pre_state = (self.gmap, self.adam, self.store, pose_adam)
+            for _ in range(4):
+                res = map_chunk(
+                    pre_state[0], pre_state[1], pre_state[2], slots, valid,
+                    opt_pose, pool, jnp.int32(0), pre_state[3],
+                    self._next_key(),
+                    jnp.int32(chunk), jnp.int32(-1),
+                    jnp.int32(self.iteration_count),
+                    self.intr, self.map_cfg,
+                    mesh=self.mesh,
+                )
+                if not self._note_pairs(res.num_pairs, res.overflow):
+                    break
             self.gmap, self.adam, self.store, pose_adam = (
                 res.gmap, res.adam, res.store, res.pose_adam
             )
@@ -674,6 +741,9 @@ class SLAM:
         out = render_keyframe(self.gmap, self.store, jnp.int32(0), self.intr, self.map_cfg)
         self.occ_visibility[0] = np.asarray(out.n_touched > 0)
         self.median_depth = float(median_depth(out.depth, out.alpha)[0])
+        # first measurement exists now: tracking starts on a right-sized
+        # pair budget instead of the capacity worst case
+        self._rebucket_pairs()
         Log(
             f"Initialized map: {int(self.gmap.num_alive)} Gaussians, "
             f"final loss {float(res.final_loss):.4f}", tag="4DGS-SLAM",
@@ -722,6 +792,9 @@ class SLAM:
             else:
                 iter_per_kf = self.mapping_itr_num
                 step_after = -1
+        # keyframe boundary = the safe recompile point: re-size the pair
+        # budget to the measured high-water mark before the mapping phase
+        self._rebucket_pairs()
         if self.dynamic and self.deform_init:
             self._run_mapping_dynamic(iter_per_kf, step_after)
         else:
@@ -786,6 +859,15 @@ class SLAM:
             res = track_frame(
                 self.gmap, frame, T_init, exp_init, self.intr, self.track_cfg,
             )
+            for _ in range(3):
+                # pair-buffer overflow: the pose came from renders that
+                # dropped pairs — re-track at the bumped budget
+                if not self._note_pairs(res.num_pairs, res.overflow):
+                    break
+                res = track_frame(
+                    self.gmap, frame, T_init, exp_init, self.intr,
+                    self.track_cfg,
+                )
             self.poses_est[idx] = np.asarray(res.T_cw)
             self._phase["track"] += time.time() - _pt
             self._phase["track_iters"] += int(res.n_iters)

@@ -64,6 +64,8 @@ class TrackResult(NamedTuple):
     visibility: jax.Array  # (C,) bool — n_touched > 0 at the final pose
     opacity: jax.Array     # (H, W) final rendered opacity
     depth: jax.Array       # (H, W) final rendered depth
+    overflow: jax.Array    # () bool — any render overflowed its pair buffer
+    num_pairs: jax.Array   # () int32 — max binned pairs seen this frame
 
 
 def _adam_update(g, mu, nu, count, lr, b1=0.9, b2=0.999, eps=1e-8):
@@ -180,9 +182,15 @@ def track_frame(
         return (T_new, exp_new, mu, nu, count, converged, loss_val, stale)
 
     def round_body(state):
-        state = state[:7] + (jnp.asarray(False),)   # fresh bins: not stale
+        core = state[:7] + (jnp.asarray(False),)   # fresh bins: not stale
+        ov_seen, pm_seen = state[8], state[9]
         # (the oracle compositor has no binning stage)
-        bins = None if config.raster.use_oracle else bins_at(state[0])
+        if config.raster.use_oracle:
+            bins = None
+        else:
+            bins = bins_at(state[0])
+            ov_seen = ov_seen | bins.overflow
+            pm_seen = jnp.maximum(pm_seen, bins.num_pairs)
 
         def inner(j, st):
             return jax.lax.cond(
@@ -192,7 +200,7 @@ def track_frame(
                 st,
             )
 
-        return jax.lax.fori_loop(0, rb, inner, state)
+        return jax.lax.fori_loop(0, rb, inner, core) + (ov_seen, pm_seen)
 
     def cond(state):
         return (state[4] < config.max_iters) & ~state[5]
@@ -206,9 +214,11 @@ def track_frame(
         jnp.asarray(False),
         jnp.asarray(jnp.inf, jnp.float32),
         jnp.asarray(False),
+        jnp.zeros((), bool),
+        jnp.zeros((), jnp.int32),
     )
-    T_cw, exp_ab, _, _, count, _, loss_val, _ = jax.lax.while_loop(
-        cond, round_body, init
+    T_cw, exp_ab, _, _, count, _, loss_val, _, ov_seen, pm_seen = (
+        jax.lax.while_loop(cond, round_body, init)
     )
 
     out = render_at(T_cw)
@@ -222,4 +232,6 @@ def track_frame(
         visibility=out.n_touched > 0,
         opacity=out.alpha,
         depth=out.depth,
+        overflow=ov_seen | jnp.any(out.overflow),
+        num_pairs=jnp.maximum(pm_seen, jnp.max(out.num_pairs)),
     )

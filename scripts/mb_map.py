@@ -24,7 +24,9 @@ from fourdgs.geometry import se3_exp
 W, H = 640, 480
 intr = Intrinsics(fx=535.4, fy=539.2, cx=320.1, cy=247.6, width=W, height=H)
 cap = int(os.environ.get("MB_CAP", 16384))
-max_pairs = int(min(1 << 18, max(1 << 15, cap * 8)))
+max_pairs = int(os.environ.get(
+    "MB_PAIRS", min(1 << 18, max(1 << 15, cap * 8))
+))
 raster = RasterConfig(max_pairs=max_pairs, with_n_touched=False)
 
 v, u = np.mgrid[0:H, 0:W]
