@@ -58,11 +58,15 @@ def ndc_project(x: jax.Array, full: jax.Array) -> jax.Array:
 
 
 def _assemble_image(tiles: jax.Array, tx_n: int, ty_n: int, tile: int, w: int, h: int):
-    """(num_tiles, tile*tile[, C]) -> ([C,] H, W)."""
+    """CHANNEL-FIRST (num_tiles, C, tile*tile) or (num_tiles, tile*tile)
+    -> ([C,] H, W). Keeping the pixel axis minor end-to-end (the tile
+    compositor emits channel-first) leaves only this one genuine
+    tile->raster data movement; a C-minor layout here pads the 128-lane
+    dim 16-43x and cost ~4 ms/render in relayout copies."""
     if tiles.ndim == 3:
-        c = tiles.shape[-1]
-        img = tiles.reshape(ty_n, tx_n, tile, tile, c)
-        img = img.transpose(4, 0, 2, 1, 3).reshape(c, ty_n * tile, tx_n * tile)
+        c = tiles.shape[1]
+        img = tiles.reshape(ty_n, tx_n, c, tile, tile)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(c, ty_n * tile, tx_n * tile)
         return img[:, :h, :w]
     img = tiles.reshape(ty_n, tx_n, tile, tile)
     img = img.transpose(0, 2, 1, 3).reshape(ty_n * tile, tx_n * tile)
@@ -159,7 +163,10 @@ def rasterize(
         bins.tile_count,
         bins.tile_start,
         bins.aligned_start,
-        bins.cand_aligned,
+        bins.cand_main,
+        bins.cand_rest,
+        bins.tail_ids,
+        bins.tail_count,
         tx_n,
         ty_n,
         config.tile,
@@ -168,9 +175,9 @@ def rasterize(
     )
 
     # single 5-channel tile->image assembly (3 separate assembles cost
-    # ~3 transpose copies each)
+    # ~3 transpose copies each); channel-first throughout
     cdt = jnp.concatenate(
-        [color_t, depth_t[..., None], tf_t[..., None]], axis=-1
+        [color_t, depth_t[:, None, :], tf_t[:, None, :]], axis=1
     )
     img5 = _assemble_image(cdt, tx_n, ty_n, config.tile, width, height)
     color, depth, t_final = img5[:3], img5[3], img5[4]
@@ -179,7 +186,7 @@ def rasterize(
     if config.with_n_touched:
         nt = reduce_aligned_by_gaussian(
             jax.lax.stop_gradient(nt_t)[:, None],
-            bins.cand_aligned,
+            bins.cand_main, bins.cand_rest, bins.tail_ids, bins.tail_count,
         )[:n, 0].astype(jnp.int32)
     else:
         nt = jnp.zeros((n,), jnp.int32)
@@ -461,7 +468,7 @@ def rasterize_multi(
         fields_geo, fields_app,
         bins.aligned_gid, bins.chunk_tile, bins.chunk_first, bins.chunk_last,
         bins.tile_count, bins.tile_start, bins.aligned_start,
-        bins.cand_aligned,
+        bins.cand_main, bins.cand_rest, bins.tail_ids, bins.tail_count,
         tx_n, ty_n, config.tile, width, height,
     )
 
@@ -469,18 +476,24 @@ def rasterize_multi(
         lambda t: _assemble_image(t, tx_n, ty_n, config.tile, width, height)
     )
     cdt = jnp.concatenate(
-        [color_t, depth_t[..., None], tf_t[..., None]], axis=-1
+        [color_t, depth_t[:, :, None, :], tf_t[:, :, None, :]], axis=2
     )
     img5 = asm(cdt)
     color, depth, t_final = img5[:, :3], img5[:, 3], img5[:, 4]
     color = color + t_final[:, None] * bg[None, :, None, None]
 
     if config.with_n_touched:
-        nt = jax.vmap(
-            lambda ntv, ca: reduce_aligned_by_gaussian(
-                jax.lax.stop_gradient(ntv)[:, None], ca,
-            )[:n, 0].astype(jnp.int32)
-        )(nt_t, bins.cand_aligned)
+        # lax.map, not vmap: a batched reduction gather serializes on
+        # TPU (see _ccsrm_bwd) — per-view 2D gathers stay on the fast
+        # vector-gather emitter
+        nt = jax.lax.map(
+            lambda a: reduce_aligned_by_gaussian(
+                jax.lax.stop_gradient(a[0])[:, None],
+                a[1], a[2], a[3], a[4],
+            )[:n, 0].astype(jnp.int32),
+            (nt_t, bins.cand_main, bins.cand_rest, bins.tail_ids,
+             bins.tail_count),
+        )
     else:
         nt = jnp.zeros((v, n), jnp.int32)
 

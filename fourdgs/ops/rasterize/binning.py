@@ -34,6 +34,18 @@ import jax.numpy as jnp
 
 from fourdgs.ops.rasterize.tile_kernel import CHUNK, SUBS
 
+# main-table width of the per-gaussian reduction tables: 4 slots cover a
+# full 2x2-tile footprint (radius <= tile px), the common case by far
+TAIL_K1 = 4
+
+
+def tail_table_size(n1: int, max_pairs: int) -> int:
+    """Static row capacity of the compacted tail table. Exactness does
+    not depend on it (reduce_aligned_by_gaussian falls back to the full
+    rest table when tail_count exceeds it); it only bounds the fast
+    path's gather size."""
+    return int(max(128, min(n1, max_pairs // 16)))
+
 
 class TileBins(NamedTuple):
     tile_start: jax.Array   # (num_tiles,) int32 offset of each tile's range
@@ -41,10 +53,21 @@ class TileBins(NamedTuple):
     num_pairs: jax.Array    # () int32 total real pairs
     overflow: jax.Array     # () bool — pair buffer overflowed
     truncated: jax.Array    # () bool — some tile exceeded per-tile capacity K
-    cand_aligned: jax.Array  # (N+1, max_rect) int32 aligned slot of each
-    #                          candidate pair per gaussian (-1 = none) —
-    #                          precomputed here so the per-iteration
-    #                          backward reduction needs NO index gather
+    # Per-gaussian candidate -> aligned-slot tables for the backward
+    # reduction, ROW-COMPACTED: each gaussian's valid slots are sorted to
+    # the front, split into a narrow main table (first TAIL_K1 slots —
+    # covers the typical <= 2x2-tile footprint) plus a rest table read
+    # only for the few gaussians with wider footprints (ids compacted
+    # into tail_ids). The reduction gather is row-count-bound on TPU
+    # (~1.3 ns/row), and the full (N+1, max_rect) table is ~70% invalid
+    # slots at production occupancy — compaction cuts its cost ~4x.
+    cand_main: jax.Array   # (N+1, min(TAIL_K1, max_rect)) int32 (-1 = none)
+    cand_rest: jax.Array   # (N+1, max(max_rect - TAIL_K1, 1)) int32
+    tail_ids: jax.Array    # (M,) int32 gaussian ids with >TAIL_K1 slots,
+    #                        valid-first (padded with arbitrary tail-free
+    #                        ids whose rest rows are all -1)
+    tail_count: jax.Array  # () int32 — number of gaussians with a tail;
+    #                        > M triggers the exact full-table fallback
     # --- CSR chunk layout (flat chunk-grid compositor) ---
     # Pairs re-laid-out so every tile's segment starts on a CHUNK
     # boundary; the kernel grid is one program per CHUNK of real pairs
@@ -249,6 +272,23 @@ def bin_gaussians(
         ]
     )                                                        # (N+1, R)
 
+    # row compaction: valid slots first (within-row order is irrelevant
+    # to the reduction's masked sum), then split main/rest and compact
+    # the ids of rows whose footprint spills past the main width
+    k1 = min(TAIL_K1, max_rect)
+    cand_sorted = -jnp.sort(-cand_aligned, axis=1)
+    cand_main = cand_sorted[:, :k1]
+    if max_rect > k1:
+        cand_rest = cand_sorted[:, k1:]
+    else:
+        cand_rest = jnp.full((n + 1, 1), -1, jnp.int32)
+    tail_any = cand_rest[:, 0] >= 0
+    m_tail = tail_table_size(n + 1, max_pairs)
+    tail_ids = jnp.argsort(jnp.where(tail_any, 0, 1))[:m_tail].astype(
+        jnp.int32
+    )
+    tail_count = jnp.sum(tail_any.astype(jnp.int32))
+
     return TileBins(
         tile_start=tile_start,
         tile_count=tile_count,
@@ -257,7 +297,10 @@ def bin_gaussians(
         # inflates by < num_tiles*CHUNK); fold it into the same flag
         overflow=(num_pairs > max_pairs) | (total_chunks > c_max),
         truncated=jnp.any(tile_count > tile_cap),
-        cand_aligned=cand_aligned,
+        cand_main=cand_main,
+        cand_rest=cand_rest,
+        tail_ids=tail_ids,
+        tail_count=tail_count,
         aligned_gid=aligned_gid,
         aligned_start=aligned_start,
         chunk_tile=chunk_tile,

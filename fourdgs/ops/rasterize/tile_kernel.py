@@ -214,8 +214,13 @@ def _fwd_kernel_csr(ct_ref, cf_ref, pairs_ref, part_ref, nt_ref, bounds_ref,
 
         # RUNNING per-tile totals: the per-tile image is the row at the
         # tile's last chunk (boundary gather outside) — no chunk-axis
-        # cumsum needed downstream
-        part_ref[s, :, :] = acc_ref[:, :]
+        # cumsum needed downstream. Stored CHANNEL-FIRST (8, npix): with
+        # the channel axis minor, the (c_max, npix, 8) layout pads the
+        # 128-lane dim 16x and the finalize/slice chain moved ~1.5 GB per
+        # 10-view render (chip-profiled ~22 ms of a 59 ms fwd+bwd);
+        # npix = tile^2 = 256 minor tiles exactly, and the in-kernel
+        # (npix, 8) -> (8, npix) transpose rides the VPU transpose unit
+        part_ref[s, :, :] = acc_ref[:, :].T
 
 
 def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
@@ -234,7 +239,15 @@ def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
 
         @pl.when(cl_ref[cid] == 1)   # last chunk of its tile = first visited
         def _init():
+            # seed the suffix accumulator with the per-tile g_tf*T_final
+            # term (gchunk row 4): dalpha subtracts suffix*inv_1ma, and
+            # the gtt term rides the suffix through every chunk of the
+            # tile — mathematically identical to the old explicit
+            # `- g_tf * t_final * inv_1ma`, but it needs gtt as a column
+            # only ONCE per tile (one (1, npix) -> (npix, 1) transpose)
+            # instead of a per-chunk C-minor gchunk row read
             acc_ref[:, :] = jnp.zeros((npix, 8), jnp.float32)
+            acc_ref[:, 0:1] = gchunk_ref[s, 4:5, :].T
 
         # pad chunks: skip the whole gradient chain, but the output block
         # MUST be zeroed — downstream the reduction's conflict-spread
@@ -258,9 +271,7 @@ def _bwd_kernel_csr(ct_ref, cl_ref, pairs_ref, gchunk_ref, bounds_ref,
 
 def _bwd_chunk(ct_ref, pairs_ref, gchunk_ref, bounds_ref, dpairs_ref,
                acc_ref, s, t, px, py, tri, npix, tx_n, tile):
-        g4 = gchunk_ref[s, :, 0:4]          # (npix, 4): [gr, gg, gb, gd]
-        g_tf = gchunk_ref[s, :, NCH + 1:NCH + 2]
-        t_final = gchunk_ref[s, :, NCH + 2:NCH + 3]
+        g4 = gchunk_ref[s, 0:4, :]          # (4, npix): [gr, gg, gb, gd]
 
         q = _csr_quantities(pairs_ref, s, px, py)
         la = q["la"]
@@ -274,22 +285,23 @@ def _bwd_chunk(ct_ref, pairs_ref, gchunk_ref, bounds_ref, dpairs_ref,
         t_before = t_incl * inv_1ma
         w = jnp.where(applied, q["alpha"] * t_before, 0.0)
 
-        # u_i = sum_ch g_ch c_ch,i + g_d depth_i as ONE (npix,4)@(4,CHUNK)
-        # MXU matmul
+        # u_i = sum_ch g_ch c_ch,i + g_d depth_i as ONE MXU matmul,
+        # contracting the leading (channel) dims of (4, npix) x (4, CHUNK)
         c4 = jnp.stack(
             [pairs_ref[f, sl] for f in (F_R, F_G, F_B, F_DEPTH)], axis=0
         )  # (4, CHUNK)
-        u = jnp.dot(g4, c4, preferred_element_type=jnp.float32)
+        u = jax.lax.dot_general(
+            g4, c4, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (npix, CHUNK)
 
         wu = w * u
         incl = jnp.dot(wu, tri, preferred_element_type=jnp.float32)
         chunk_tot = incl[:, CHUNK - 1:CHUNK]
+        # acc was seeded with the g_tf*T_final term at the tile's last
+        # chunk (_init above), so suffix_u carries it for every chunk
         suffix_u = (chunk_tot - incl) + acc_ref[:, 0:1]
-        dalpha = (
-            u * t_before
-            - suffix_u * inv_1ma
-            - g_tf * t_final * inv_1ma
-        )
+        dalpha = u * t_before - suffix_u * inv_1ma
         acc_ref[:, 0:1] += chunk_tot
 
         unclamped = (q["raw"] < ALPHA_MAX).astype(jnp.float32)
@@ -338,7 +350,7 @@ def _bwd_chunk(ct_ref, pairs_ref, gchunk_ref, bounds_ref, dpairs_ref,
         dop = jnp.where(op > 1e-12, s0 / op, 0.0)
 
         # color/depth gradients: (4, npix)@(npix, CHUNK) MXU matmul
-        gw = jnp.dot(g4.T, w, preferred_element_type=jnp.float32)
+        gw = jnp.dot(g4, w, preferred_element_type=jnp.float32)
 
         dpairs_ref[F_OP, sl] = dop[0, :]
         dpairs_ref[F_CA, sl] = (-0.5 * sum_dx2)[0, :]
@@ -376,7 +388,7 @@ def _csr_fwd_impl(pairs, chunk_tile, chunk_first,
             pl.BlockSpec((NUM_FIELDS, SUBS * CHUNK), lambda j, ct, cf: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((SUBS, npix, 8), lambda j, ct, cf: (j, 0, 0)),
+            pl.BlockSpec((SUBS, 8, npix), lambda j, ct, cf: (j, 0, 0)),
             pl.BlockSpec((1, SUBS * CHUNK), lambda j, ct, cf: (0, j)),
             pl.BlockSpec((SUBS, 1, npix), lambda j, ct, cf: (j, 0, 0)),
         ],
@@ -389,7 +401,7 @@ def _csr_fwd_impl(pairs, chunk_tile, chunk_first,
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((c_max, npix, 8), jnp.float32),
+            jax.ShapeDtypeStruct((c_max, 8, npix), jnp.float32),
             jax.ShapeDtypeStruct((1, p), jnp.float32),
             jax.ShapeDtypeStruct((c_max, 1, npix), jnp.float32),
         ],
@@ -401,41 +413,46 @@ def _csr_fwd_impl(pairs, chunk_tile, chunk_first,
 def _csr_finalize(part, chunk_start, n_chunks, npix):
     """Per-tile totals from the kernel's RUNNING sums: the tile's values
     are the row at its last chunk (one boundary row gather, no chunk-axis
-    cumsum). Returns (VT, npix, 6) [r, g, b, depth, cum, la] with empty
-    tiles zeroed — la = 0 makes T_final = exp(la) = 1 for them, so the
-    caller needs NO per-channel select (the old where-chain cost ~2 ms of
-    (VT, npix, 1) layout copies per render)."""
+    cumsum). Returns CHANNEL-FIRST (VT, 6, npix) [r, g, b, depth, cum,
+    la] with empty tiles zeroed — la = 0 makes T_final = exp(la) = 1 for
+    them, so the caller needs NO per-channel select (the old where-chain
+    cost ~2 ms of (VT, npix, 1) layout copies per render)."""
     c_max = part.shape[0]
     last = jnp.clip(chunk_start + n_chunks - 1, 0, c_max - 1)
-    tot = part[last]                                # (VT, npix, 8)
+    tot = part[last]                                # (VT, 8, npix)
     hasf = (n_chunks > 0).astype(part.dtype)[:, None, None]
-    return tot[:, :, :6] * hasf
+    return tot[:, :6, :] * hasf
 
 
 def _csr_bwd_impl(pairs, bounds, t_final_rows, chunk_tile, chunk_last,
                   g_color, g_depth, g_tf,
                   *, tx_n, ty_n, tile, img_w, img_h, tiles_per_view,
                   n_tiles_total):
-    """dpairs (FIELDS, P) from per-tile output gradients (VT, npix[, C])."""
+    """dpairs (FIELDS, P) from CHANNEL-FIRST per-tile output gradients
+    (VT, C, npix) / (VT, npix)."""
     p = pairs.shape[1]
     c_max = p // CHUNK
     npix = tile * tile
     vt = g_color.shape[0]
+    # rows [gr, gg, gb, gd, g_tf*T_final, 0, 0, 0]: the gtt product is
+    # per-tile constant, folded here (npix-minor elementwise) so the
+    # kernel seeds its suffix accumulator with ONE row instead of
+    # reading two per-chunk columns from a C-minor block
+    gtt = g_tf * t_final_rows                          # (VT, npix)
     grows = jnp.concatenate(
         [
             g_color,
-            g_depth[:, :, None],
-            g_tf[:, :, None],
-            t_final_rows[:, :, None],
-            jnp.zeros((vt, npix, 2), jnp.float32),
+            g_depth[:, None, :],
+            gtt[:, None, :],
+            jnp.zeros((vt, 3, npix), jnp.float32),
         ],
-        axis=2,
+        axis=1,
     )
     grows = jnp.pad(grows, ((0, 1), (0, 0), (0, 0)))  # dummy row: sentinels
     # per-chunk gradient rows (row gather; lets the kernel stream them
     # through a statically-indexed BlockSpec instead of a scalar-driven
     # per-tile block)
-    gchunk = grows[jnp.minimum(chunk_tile, vt)]       # (c_max, npix, 8)
+    gchunk = grows[jnp.minimum(chunk_tile, vt)]       # (c_max, 8, npix)
     kern = functools.partial(
         _bwd_kernel_csr, tx_n=tx_n, tile=tile, img_w=img_w, img_h=img_h,
         tiles_per_view=tiles_per_view, n_tiles_total=n_tiles_total,
@@ -448,7 +465,7 @@ def _csr_bwd_impl(pairs, bounds, t_final_rows, chunk_tile, chunk_last,
             pl.BlockSpec(
                 (NUM_FIELDS, SUBS * CHUNK), lambda j, ct, cl: (0, g - 1 - j)
             ),
-            pl.BlockSpec((SUBS, npix, 8), lambda j, ct, cl: (g - 1 - j, 0, 0)),
+            pl.BlockSpec((SUBS, 8, npix), lambda j, ct, cl: (g - 1 - j, 0, 0)),
             pl.BlockSpec((SUBS, 1, npix), lambda j, ct, cl: (g - 1 - j, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -467,38 +484,60 @@ def _csr_bwd_impl(pairs, bounds, t_final_rows, chunk_tile, chunk_last,
     return dpairs
 
 
-def reduce_aligned_by_gaussian(
-    values_rows: jax.Array,     # (P, F) per-ALIGNED-slot values
-    cand_aligned: jax.Array,    # (N+1, R) aligned slot per candidate (-1 none)
-) -> jax.Array:
-    """Per-gaussian sums of per-aligned-slot values: ONE row gather
-    through the binner's precomputed per-gaussian candidate->aligned-slot
-    table (TileBins.cand_aligned) + a masked sum over the rect axis — no
-    global cumsum (an axis-0 cumsum over (P, F) keeps only F of 128
-    lanes busy, ~3 ms at production shapes), no per-iteration index
-    gather (precomputed at binning), and no scatter (the CUDA reference
-    needs block-reduce + atomicAdd here, backward.cu:759-784). The row
-    gather is optimization_barrier-isolated on both sides: fused into
+def _gather_reduce_rows(values_rows: jax.Array, table: jax.Array) -> jax.Array:
+    """Masked per-row sums: (P, F) values gathered through a (B, R)
+    slot table (-1 = none) -> (B, F). The row gather is
+    optimization_barrier-isolated on both sides: fused into
     producers/consumers XLA lowers it to a scalar-indexed emitter.
-    Returns (N+1, F)."""
+    Invalid slots must NOT share one dummy index: the TPU vector-gather
+    emitter serializes on duplicate rows (VMEM bank conflicts), and
+    clipping them all to 0 made the reductions cost ~5 ms each — 55% of
+    a full backward. Valid entries are duplicate-free (the table is a
+    partial permutation of aligned slots), so spreading the dummies
+    across distinct rows keeps the whole gather conflict-free."""
     max_pairs = values_rows.shape[0]
-    n1, r = cand_aligned.shape
-    valid = cand_aligned >= 0
-    # Invalid slots (-1, ~70% of the table at production occupancy) must
-    # NOT share one dummy index: the TPU vector-gather emitter serializes
-    # on duplicate rows (VMEM bank conflicts), and clipping them all to 0
-    # made the two reductions cost ~5 ms each — 55% of a full backward.
-    # Valid entries are duplicate-free (the table is a partial
-    # permutation of aligned slots), so spreading the dummies across
-    # distinct rows keeps the whole gather conflict-free (~0.1 ms).
-    spread = (
-        jnp.arange(n1 * r, dtype=jnp.int32).reshape(n1, r) % max_pairs
-    )
-    slots = jnp.where(valid, cand_aligned, spread)
+    b, r = table.shape
+    valid = table >= 0
+    spread = jnp.arange(b * r, dtype=jnp.int32).reshape(b, r) % max_pairs
+    slots = jnp.where(valid, table, spread)
     vr_b, slot_b = jax.lax.optimization_barrier((values_rows, slots))
-    rows = jax.lax.optimization_barrier(vr_b[slot_b])       # (N+1, R, F)
+    rows = jax.lax.optimization_barrier(vr_b[slot_b])       # (B, R, F)
     rows = rows * valid.astype(values_rows.dtype)[:, :, None]
     return jnp.sum(rows, axis=1)
+
+
+def reduce_aligned_by_gaussian(
+    values_rows: jax.Array,  # (P, F) per-ALIGNED-slot values
+    cand_main: jax.Array,    # (N+1, K1) valid-first aligned slots (-1 none)
+    cand_rest: jax.Array,    # (N+1, R-K1) slots past the main width
+    tail_ids: jax.Array,     # (M,) compacted ids of rows with a tail
+    tail_count: jax.Array,   # () int32 — true tail-row count
+) -> jax.Array:
+    """Per-gaussian sums of per-aligned-slot values through the binner's
+    ROW-COMPACTED candidate->aligned-slot tables (TileBins.cand_main /
+    cand_rest / tail_ids) — no global cumsum (an axis-0 cumsum over
+    (P, F) keeps only F of 128 lanes busy, ~3 ms at production shapes),
+    no per-iteration index gather (tables precomputed at binning), and
+    no serialized scatter over the pair buffer (the CUDA reference needs
+    block-reduce + atomicAdd here, backward.cu:759-784; the only scatter
+    here is the M-row unique-index tail add-back). The gather is
+    row-count-bound (~1.3 ns/row), so the narrow main table + compacted
+    tail run ~4x faster than one (N+1, max_rect) table at typical
+    footprints; when tail_count overflows the static tail capacity the
+    exact full-rest-table fallback runs instead (lax.cond — only the
+    taken branch executes). Returns (N+1, F)."""
+    main = _gather_reduce_rows(values_rows, cand_main)
+    m = tail_ids.shape[0]
+
+    def fast(acc):
+        rest_rows = cand_rest[tail_ids]                     # (M, R-K1)
+        t = _gather_reduce_rows(values_rows, rest_rows)     # (M, F)
+        return acc.at[tail_ids].add(t, unique_indices=True)
+
+    def full(acc):
+        return acc + _gather_reduce_rows(values_rows, cand_rest)
+
+    return jax.lax.cond(tail_count <= m, fast, full, main)
 
 
 def _csr_gather_pairs(fields_geo, fields_app, aligned_gid):
@@ -531,23 +570,25 @@ def _ccsr_impl(fields_geo, fields_app, bins_csr, tx_n, ty_n, tile,
     npix = tile * tile
     chunk_start, n_chunks = _chunk_ranges(tile_count)
     tot6 = _csr_finalize(part, chunk_start, n_chunks, npix)
-    t_final = jnp.exp(tot6[:, :, A_LA])
+    t_final = jnp.exp(tot6[:, A_LA, :])
     return (
-        (tot6[:, :, 0:NCH], tot6[:, :, NCH], t_final, nt),
+        (tot6[:, 0:NCH, :], tot6[:, NCH, :], t_final, nt),
         (pairs, bounds, t_final),
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
 def composite_csr(
     fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first, chunk_last,
-    tile_count, tile_start, aligned_start, cand_aligned,
+    tile_count, tile_start, aligned_start,
+    cand_main, cand_rest, tail_ids, tail_count,
     tx_n, ty_n, tile, img_w, img_h,
 ):
     """CSR chunk-grid compositor. fields (N+1, 6)/(N+1, 4) + TileBins CSR
-    arrays -> (color (T, npix, 3), depth (T, npix), T_final (T, npix),
-    n_touched (P,) per aligned slot). `cand_aligned` is the binner's
-    per-gaussian candidate->aligned-slot table for the backward
+    arrays -> (color (T, 3, npix) channel-first, depth (T, npix),
+    T_final (T, npix), n_touched (P,) per aligned slot).
+    cand_main/cand_rest/tail_ids/tail_count are the binner's compacted
+    per-gaussian candidate->aligned-slot tables for the backward
     reduction."""
     return _ccsr_impl(
         fields_geo, fields_app,
@@ -557,7 +598,8 @@ def composite_csr(
 
 
 def _ccsr_fwd(fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first,
-              chunk_last, tile_count, tile_start, aligned_start, cand_aligned,
+              chunk_last, tile_count, tile_start, aligned_start,
+              cand_main, cand_rest, tail_ids, tail_count,
               tx_n, ty_n, tile, img_w, img_h):
     outs, (pairs, bounds, t_final) = _ccsr_impl(
         fields_geo, fields_app,
@@ -565,13 +607,13 @@ def _ccsr_fwd(fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first,
         tx_n, ty_n, tile, img_w, img_h,
     )
     res = (pairs, bounds, t_final, chunk_tile, chunk_last,
-           tile_start, aligned_start, cand_aligned)
+           cand_main, cand_rest, tail_ids, tail_count)
     return outs, res
 
 
 def _ccsr_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
     (pairs, bounds, t_final, chunk_tile, chunk_last,
-     tile_start, aligned_start, cand_aligned) = res
+     cand_main, cand_rest, tail_ids, tail_count) = res
     g_color, g_depth, g_tf, _g_nt = g
     dpairs = _csr_bwd_impl(
         pairs, bounds, t_final, chunk_tile, chunk_last,
@@ -582,9 +624,12 @@ def _ccsr_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
     # ONE 10-field gather: the two reductions share indices, and the
     # in-situ gather cost is dominated by per-index overhead, not row
     # width (6F and 4F gathers both profiled ~2 ms) — combining halves it
-    g_all = reduce_aligned_by_gaussian(dpairs.T, cand_aligned)
+    g_all = reduce_aligned_by_gaussian(
+        dpairs.T, cand_main, cand_rest, tail_ids, tail_count
+    )
     return (g_all[:, :NUM_GEO], g_all[:, NUM_GEO:],
-            None, None, None, None, None, None, None, None)
+            None, None, None, None, None, None, None,
+            None, None, None, None)
 
 
 composite_csr.defvjp(_ccsr_fwd, _ccsr_bwd)
@@ -624,25 +669,26 @@ def _ccsrm_impl(fields_geo, fields_app, bins_csr, tx_n, ty_n, tile,
     chunk_start, n_chunks = jax.vmap(_chunk_ranges)(tile_count)
     chunk_start = (chunk_start + voff * c_max_v).reshape(-1)
     tot6 = _csr_finalize(part, chunk_start, n_chunks.reshape(-1), npix)
-    t_final = jnp.exp(tot6[:, :, A_LA])
+    t_final = jnp.exp(tot6[:, A_LA, :])
     shape_v = lambda a: a.reshape((v, t_per_view) + a.shape[1:])
     return (
-        (shape_v(tot6[:, :, 0:NCH]), shape_v(tot6[:, :, NCH]),
+        (shape_v(tot6[:, 0:NCH, :]), shape_v(tot6[:, NCH, :]),
          shape_v(t_final), nt.reshape(v, -1)),
         (pairs, bounds, t_final, ct_g),
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
 def composite_csr_multi(
     fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first, chunk_last,
-    tile_count, tile_start, aligned_start, cand_aligned,
+    tile_count, tile_start, aligned_start,
+    cand_main, cand_rest, tail_ids, tail_count,
     tx_n, ty_n, tile, img_w, img_h,
 ):
     """Batched CSR compositor: leading V axis on every array; one kernel
     launch whose grid is the concatenation of all views' chunk lists.
-    Returns per-view (V, T, npix[, C]) outputs + (V, P) aligned-slot
-    n_touched."""
+    Returns per-view channel-first (V, T, [C,] npix) outputs + (V, P)
+    aligned-slot n_touched."""
     return _ccsrm_impl(
         fields_geo, fields_app,
         (aligned_gid, chunk_tile, chunk_first, tile_count),
@@ -651,7 +697,8 @@ def composite_csr_multi(
 
 
 def _ccsrm_fwd(fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first,
-               chunk_last, tile_count, tile_start, aligned_start, cand_aligned,
+               chunk_last, tile_count, tile_start, aligned_start,
+               cand_main, cand_rest, tail_ids, tail_count,
                tx_n, ty_n, tile, img_w, img_h):
     outs, (pairs, bounds, t_final, ct_g) = _ccsrm_impl(
         fields_geo, fields_app,
@@ -659,13 +706,13 @@ def _ccsrm_fwd(fields_geo, fields_app, aligned_gid, chunk_tile, chunk_first,
         tx_n, ty_n, tile, img_w, img_h,
     )
     res = (pairs, bounds, t_final, ct_g, chunk_last,
-           tile_start, aligned_start, cand_aligned)
+           cand_main, cand_rest, tail_ids, tail_count)
     return outs, res
 
 
 def _ccsrm_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
     (pairs, bounds, t_final, ct_g, chunk_last,
-     tile_start, aligned_start, cand_aligned) = res
+     cand_main, cand_rest, tail_ids, tail_count) = res
     g_color, g_depth, g_tf, _g_nt = g
     v, t_per_view = g_color.shape[0], g_color.shape[1]
     flat = lambda a: a.reshape((v * t_per_view,) + a.shape[2:])
@@ -684,11 +731,12 @@ def _ccsrm_bwd(tx_n, ty_n, tile, img_w, img_h, res, g):
     # sequential 2D per-view gathers run ~4.5x faster at identical
     # results (chip-measured, scripts/mb_gather.py)
     g_all = jax.lax.map(
-        lambda a: reduce_aligned_by_gaussian(a[0], a[1]),
-        (drows, cand_aligned),
+        lambda a: reduce_aligned_by_gaussian(a[0], a[1], a[2], a[3], a[4]),
+        (drows, cand_main, cand_rest, tail_ids, tail_count),
     )
     return (g_all[..., :NUM_GEO], g_all[..., NUM_GEO:],
-            None, None, None, None, None, None, None, None)
+            None, None, None, None, None, None, None,
+            None, None, None, None)
 
 
 composite_csr_multi.defvjp(_ccsrm_fwd, _ccsrm_bwd)
