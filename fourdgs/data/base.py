@@ -141,20 +141,11 @@ def load_dataset(args, path: str, config) -> BaseDataset:
     raise ValueError(f"Unknown dataset type: {dtype}")
 
 
-class RealsenseDataset(BaseDataset):
-    """Live RGB-D capture (reference utils/dataset.py:721-811 realDataset).
-    Requires pyrealsense2 + a physical camera; neither exists in this
-    container, so construction raises with a clear message."""
+def RealsenseDataset(args, path, config):
+    """Live RGB-D capture — full implementation in
+    fourdgs/data/realsense.py (reference utils/dataset.py:721-811).
+    Imported lazily: pyrealsense2 is absent in CI and the module's
+    constructor raises a clear RuntimeError there."""
+    from fourdgs.data.realsense import RealsenseDataset as _RS
 
-    def __init__(self, args, path, config):
-        try:
-            import pyrealsense2  # noqa: F401
-        except ImportError as e:
-            raise RuntimeError(
-                "Realsense live capture needs pyrealsense2 and a camera; "
-                "neither is available in this environment"
-            ) from e
-        super().__init__(args, path, config)
-        raise NotImplementedError(
-            "live capture loop pending hardware to test against"
-        )
+    return _RS(args, path, config)

@@ -199,7 +199,9 @@ def rasterize(
         T_final=t_final,
         radii=jax.lax.stop_gradient(sg.radius),
         overflow=bins.overflow,
-        num_pairs=bins.num_pairs,
+        # budget-sizing signal: the CHUNK-aligned layout's need, not just
+        # the raw pair count (alignment dominates at full tile coverage)
+        num_pairs=jnp.maximum(bins.num_pairs, bins.aligned_slots),
     )
 
 
@@ -505,5 +507,5 @@ def rasterize_multi(
         T_final=t_final,
         radii=jax.lax.stop_gradient(sg.radius),
         overflow=jnp.any(bins.overflow),
-        num_pairs=jnp.max(bins.num_pairs),
+        num_pairs=jnp.max(jnp.maximum(bins.num_pairs, bins.aligned_slots)),
     )

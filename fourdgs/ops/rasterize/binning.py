@@ -51,6 +51,14 @@ class TileBins(NamedTuple):
     tile_start: jax.Array   # (num_tiles,) int32 offset of each tile's range
     tile_count: jax.Array   # (num_tiles,) int32 pairs in each tile
     num_pairs: jax.Array    # () int32 total real pairs
+    # () int32 slots the CHUNK-aligned layout NEEDS (total_chunks*CHUNK
+    # >= num_pairs: every non-empty tile rounds up to a CHUNK multiple,
+    # so at 640x480 the ~1200-tile grid alone needs ~154K slots however
+    # few pairs there are). THIS — not num_pairs — is the number the
+    # runner's adaptive budget must cover; sizing from num_pairs alone
+    # made every 640x480 tracking bucket below 1<<18 overflow instantly
+    # (the round-4 bench fault path).
+    aligned_slots: jax.Array
     overflow: jax.Array     # () bool — pair buffer overflowed
     truncated: jax.Array    # () bool — some tile exceeded per-tile capacity K
     # Per-gaussian candidate -> aligned-slot tables for the backward
@@ -213,7 +221,14 @@ def bin_gaussians(
     chunk_pos = cidx - chunk_start[t_of]
     chunk_tile = jnp.where(c_valid, t_of, num_tiles)
     chunk_first = (c_valid & (chunk_pos == 0)).astype(jnp.int32)
-    chunk_last = (c_valid & (chunk_pos == n_chunks[t_of] - 1)).astype(jnp.int32)
+    # the buffer-final chunk counts as its tile's last even when the tile
+    # is truncated (total_chunks > c_max): the REVERSED backward grid
+    # initializes its accumulator only at last-chunks — without this a
+    # truncated run (pre-re-run at a larger bucket) would read
+    # uninitialized VMEM scratch
+    chunk_last = (
+        c_valid & ((chunk_pos == n_chunks[t_of] - 1) | (cidx == c_max - 1))
+    ).astype(jnp.int32)
 
     aligned_start = chunk_start * CHUNK
     # per-slot quantities via per-CHUNK gathers + broadcast (1-D per-slot
@@ -251,11 +266,14 @@ def bin_gaussians(
     shift = aligned_start - tile_start                       # (T,)
     sp = jnp.arange(max_pairs, dtype=jnp.int32)
     p_valid = pair_tile < num_tiles
+    apos_raw = sp + shift[jnp.minimum(pair_tile, num_tiles - 1)]
+    # TRUNCATION SAFETY: when the aligned layout overflows (overflow flag
+    # below; the caller re-runs at a larger bucket), slots past the
+    # buffer must become -1 (no slot), NOT clip to max_pairs-1 — clipping
+    # maps thousands of pairs onto ONE duplicate row and the backward
+    # reduction gathers serialize on duplicate rows (and sum garbage)
     aligned_pos = jnp.where(
-        p_valid,
-        jnp.clip(sp + shift[jnp.minimum(pair_tile, num_tiles - 1)],
-                 0, max_pairs - 1),
-        -1,
+        p_valid & (apos_raw < max_pairs), jnp.maximum(apos_raw, 0), -1
     )
     if n_cand >= max_pairs:
         # sorted slots past the pair buffer are overflow: no aligned slot
@@ -293,6 +311,7 @@ def bin_gaussians(
         tile_start=tile_start,
         tile_count=tile_count,
         num_pairs=num_pairs,
+        aligned_slots=total_chunks * CHUNK,
         # aligned layout spills before the raw buffer does (alignment pad
         # inflates by < num_tiles*CHUNK); fold it into the same flag
         overflow=(num_pairs > max_pairs) | (total_chunks > c_max),

@@ -168,7 +168,9 @@ def gma_forward(params, image1, image2, iters: int = 20):
 # ---------------------------------------------------------------------------
 
 GMA_WEIGHTS_PATHS = [
+    "pretrained/gma-things.npz",    # converted (scripts/convert_weights.py)
     "pretrained/gma-things.pth",
+    os.path.expanduser("~/.cache/fourdgs/gma-things.npz"),
     os.path.expanduser("~/.cache/fourdgs/gma-things.pth"),
 ]
 
@@ -207,6 +209,11 @@ def convert_state_dict_gma(sd) -> dict:
 
 
 def load_torch_weights_gma(path: str) -> dict:
+    """Accepts a converted .npz (torch-free) or the original .pth."""
+    if path.endswith(".npz"):
+        from fourdgs.perception.weights_io import load_pytree_npz
+
+        return load_pytree_npz(path)[0]
     import torch
 
     return convert_state_dict_gma(torch.load(path, map_location="cpu"))

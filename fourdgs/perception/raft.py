@@ -356,7 +356,9 @@ def raft_forward(params, image1, image2, iters: int = 20):
 # ---------------------------------------------------------------------------
 
 RAFT_WEIGHTS_PATHS = [
+    "pretrained/raft-things.npz",   # converted (scripts/convert_weights.py)
     "pretrained/raft-things.pth",
+    os.path.expanduser("~/.cache/fourdgs/raft-things.npz"),
     os.path.expanduser("~/.cache/fourdgs/raft-things.pth"),
 ]
 
@@ -429,7 +431,12 @@ def convert_state_dict(sd) -> dict:
 
 
 def load_torch_weights(path: str) -> dict:
-    """Convert a torch RAFT checkpoint file into the parameter pytree."""
+    """Convert a torch RAFT checkpoint file into the parameter pytree.
+    Accepts a converted .npz (torch-free) or the original .pth."""
+    if path.endswith(".npz"):
+        from fourdgs.perception.weights_io import load_pytree_npz
+
+        return load_pytree_npz(path)[0]
     import torch
 
     return convert_state_dict(torch.load(path, map_location="cpu"))

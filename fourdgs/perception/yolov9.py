@@ -480,5 +480,17 @@ class Yolov9Seg:
 
 
 def load_yolov9(path: str, imgsz: int = 640) -> Yolov9Seg:
+    """Accepts a converted .npz (torch-free; a sibling .npz of a .pt
+    path is preferred when present) or the original ultralytics .pt."""
+    import os
+
+    npz = path[:-3] + ".npz" if path.endswith(".pt") else None
+    if npz and os.path.exists(npz):
+        path = npz
+    if path.endswith(".npz"):
+        from fourdgs.perception.weights_io import load_pytree_npz
+
+        params, meta = load_pytree_npz(path)
+        return Yolov9Seg(meta["cfg"], params, imgsz=imgsz)
     cfg, params = convert_checkpoint(path)
     return Yolov9Seg(cfg, params, imgsz=imgsz)

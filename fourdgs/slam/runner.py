@@ -223,6 +223,11 @@ class SLAM:
         self.occ_visibility: dict[int, np.ndarray] = {}
         self.window: list[int] = []
         self.kf_indices: list[int] = []
+        # monotone count of keyframes EVER stored: slot assignment and
+        # the forced-KF cadence key off this, not len(kf_indices), so
+        # store wraparound (capacity exceeded on long sequences) evicts
+        # deterministically instead of silently remapping old KF ids
+        self.kf_total = 0
         self.iteration_count = 0
         self.median_depth = 2.0
         self.rng = np.random.default_rng(0)
@@ -257,9 +262,12 @@ class SLAM:
         binning sorts, the pair gathers, the Pallas chunk grid, the
         backward reduction — scales with it, so right-sizing it is worth
         3-5x on a mapping iteration at typical occupancy. Sized from the
-        MEASURED per-view pair high-water mark (3x headroom, power-of-two
-        buckets from the floor) once one exists; the worst-case
-        capacity*8 heuristic until then. Overflow is tracked per render
+        MEASURED per-view high-water mark of NEEDED SLOTS — the
+        CHUNK-aligned layout's total (every non-empty tile rounds up to a
+        CHUNK multiple; at 640x480 full coverage that floor is ~154K
+        slots regardless of pair count) — with 2x headroom and
+        power-of-two buckets from the floor; the worst-case capacity*8
+        heuristic until a measurement exists. Overflow is tracked per render
         (TileBins.overflow -> TrackResult/MapChunkResult) and the runner
         bumps `_pairs_floor` and re-runs the affected program, so
         right-sizing never silently drops pairs (the CUDA reference
@@ -270,13 +278,27 @@ class SLAM:
         floor = min(1 << 15, self._raster_base.max_pairs)
         ceiling = int(min(1 << 18, max(floor, capacity * 8)))
         if self._pairs_hwm > 0:
-            need = max(floor, min(3 * self._pairs_hwm, ceiling))
+            # ADDITIVE margin, not multiplicative: the hwm is dominated
+            # by the CHUNK-aligned layout's near-constant floor (~154K
+            # slots at full 640x480 tile coverage), so 2x headroom just
+            # doubled every downstream sort/gather/kernel shape; the
+            # margin (32K at production, ceiling/4 at the tiny test
+            # shapes so CPU-interpret runs stay small) absorbs pair
+            # growth between keyframes and any overflow still
+            # re-buckets + re-runs (never silent)
+            margin = min(1 << 15, max(ceiling // 4, 1024))
+            need = max(floor, min(self._pairs_hwm + margin, ceiling))
         else:
             need = ceiling
         need = max(need, min(self._pairs_floor, 1 << 18))
+        # {2^k, 3*2^k} bucket ladder: the 3*2^k steps matter because the
+        # aligned floor sits just past 2^17 — 196608 fits it (measured
+        # clean + fast on-chip, scripts/bisect_track.py) where the pure
+        # power-of-two ladder jumps 33% past the need to 262144
         bucket = floor
         while bucket < need:
-            bucket *= 2
+            b3 = bucket // 2 * 3
+            bucket = b3 if b3 >= need else bucket * 2
         max_pairs = bucket
         # CSR grid granularity: round up to a CHUNK*SUBS multiple
         from fourdgs.ops.rasterize.tile_kernel import CHUNK, SUBS
@@ -313,7 +335,8 @@ class SLAM:
             Log("pair buffer overflow at the 1<<18 ceiling; pairs dropped",
                 tag="Perf")
             return False
-        self._pairs_floor = self.raster.max_pairs * 2
+        # next ladder step (1.5x covers the {2^k, 3*2^k} ladder)
+        self._pairs_floor = self.raster.max_pairs * 3 // 2
         return self._rebucket_pairs()
 
     def _refresh_configs(self):
@@ -680,6 +703,7 @@ class SLAM:
         self.store = kfs.store_keyframe(self.store, 0, frame, T, jnp.zeros(2))
         self.kf_slot[idx] = 0
         self.kf_indices = [idx]
+        self.kf_total = 1
         self.window = [idx]
         self._spawn_gaussians(frame, T, np.zeros(2), init=True)
         out = render_keyframe(self.gmap, self.store, jnp.int32(0), self.intr, self.map_cfg)
@@ -694,6 +718,7 @@ class SLAM:
         )
         self.kf_slot[0] = 0
         self.kf_indices = [0]
+        self.kf_total = 1
         self.window = [0]
         n = self._spawn_gaussians(frame, jnp.asarray(T_gt, jnp.float32), np.zeros(2), init=True)
         Log(f"Init: spawned {n} Gaussians", tag="4DGS-SLAM")
@@ -749,10 +774,27 @@ class SLAM:
             f"final loss {float(res.final_loss):.4f}", tag="4DGS-SLAM",
         )
 
-    def _handle_keyframe(self, idx: int, frame: Frame, curr_visibility: np.ndarray):
-        slot = len(self.kf_indices) % self.store.capacity
+    def _assign_kf_slot(self, idx: int) -> int:
+        """Slot for a new keyframe, with wraparound eviction: any OLD
+        keyframe still mapped to the reused slot must leave every
+        id-keyed structure (replay pool, flow pairing, window,
+        covisibility) before the slot's image is overwritten — otherwise
+        replay would silently train against the wrong frame."""
+        slot = self.kf_total % self.store.capacity
+        self.kf_total += 1
+        for old in [k for k, s in self.kf_slot.items() if s == slot]:
+            del self.kf_slot[old]
+            self.occ_visibility.pop(old, None)
+            if old in self.kf_indices:
+                self.kf_indices.remove(old)
+            if old in self.window:
+                self.window.remove(old)
         self.kf_slot[idx] = slot
         self.kf_indices.append(idx)
+        return slot
+
+    def _handle_keyframe(self, idx: int, frame: Frame, curr_visibility: np.ndarray):
+        slot = self._assign_kf_slot(idx)
         self.store = kfs.store_keyframe(
             self.store, slot, frame,
             jnp.asarray(self.poses_est[idx], jnp.float32),
@@ -856,18 +898,16 @@ class SLAM:
             T_init = jnp.asarray(self.poses_est[idx - 1], jnp.float32)
             exp_init = jnp.asarray(self.exposures.get(idx - 1, np.zeros(2)), jnp.float32)
             _pt = time.time()
-            res = track_frame(
-                self.gmap, frame, T_init, exp_init, self.intr, self.track_cfg,
-            )
-            for _ in range(3):
-                # pair-buffer overflow: the pose came from renders that
-                # dropped pairs — re-track at the bumped budget
-                if not self._note_pairs(res.num_pairs, res.overflow):
-                    break
+            for _ in range(4):
                 res = track_frame(
                     self.gmap, frame, T_init, exp_init, self.intr,
                     self.track_cfg,
                 )
+                # pair-buffer overflow: the pose came from renders that
+                # dropped pairs — re-track at the bumped budget (every
+                # attempt's flags are folded, incl. the last one)
+                if not self._note_pairs(res.num_pairs, res.overflow):
+                    break
             self.poses_est[idx] = np.asarray(res.T_cw)
             self._phase["track"] += time.time() - _pt
             self._phase["track_iters"] += int(res.n_iters)
@@ -931,7 +971,7 @@ class SLAM:
                 if (
                     self.config.get("Results", {}).get("save_trj", False)
                     and self.save_dir
-                    and len(self.kf_indices) % intv == 0
+                    and self.kf_total % intv == 0
                 ):
                     stats = self.eval_ate(label=f"frame_{idx}")
                     Log(f"ATE RMSE @ frame {idx}: {stats['rmse']:.4f} m", tag="Eval")
@@ -1064,6 +1104,7 @@ class SLAM:
 
         host = {
             "iteration_count": self.iteration_count,
+            "kf_total": self.kf_total,
             "kf_indices": self.kf_indices,
             "window": self.window,
             "kf_slot": {str(k): v for k, v in self.kf_slot.items()},
@@ -1087,6 +1128,7 @@ class SLAM:
         )
         self.iteration_count = host["iteration_count"]
         self.kf_indices = list(host["kf_indices"])
+        self.kf_total = int(host.get("kf_total", len(self.kf_indices)))
         self.window = list(host["window"])
         self.kf_slot = {int(k): v for k, v in host["kf_slot"].items()}
         self.poses_est = {

@@ -190,7 +190,9 @@ def track_frame(
         else:
             bins = bins_at(state[0])
             ov_seen = ov_seen | bins.overflow
-            pm_seen = jnp.maximum(pm_seen, bins.num_pairs)
+            pm_seen = jnp.maximum(
+                pm_seen, jnp.maximum(bins.num_pairs, bins.aligned_slots)
+            )
 
         def inner(j, st):
             return jax.lax.cond(
@@ -202,7 +204,7 @@ def track_frame(
 
         return jax.lax.fori_loop(0, rb, inner, core) + (ov_seen, pm_seen)
 
-    def cond(state):
+    def live(state):
         return (state[4] < config.max_iters) & ~state[5]
 
     init = (
@@ -217,8 +219,22 @@ def track_frame(
         jnp.zeros((), bool),
         jnp.zeros((), jnp.int32),
     )
+    # STATIC trip count (ceil(max_iters/rb) rounds), converged rounds
+    # skipped by lax.cond — the identical round/inner structure the
+    # mapping loop uses (mapping.py:505-527). A dynamic
+    # lax.while_loop here compiled fine but KERNEL-FAULTED the chip at
+    # pair buckets >= 2^18 (c_max 2048) while the same kernels inside a
+    # fori_loop run clean at the same shapes (r4 bench fault, bisected
+    # round 5 — scripts/bisect_track.py / bisect_bwd.py); structurally
+    # the early exit is unchanged: converged rounds take the identity
+    # branch and skip binning + all renders.
+    n_rounds = -(-config.max_iters // rb)
+
+    def round_wrap(_, state):
+        return jax.lax.cond(live(state), round_body, lambda s: s, state)
+
     T_cw, exp_ab, _, _, count, _, loss_val, _, ov_seen, pm_seen = (
-        jax.lax.while_loop(cond, round_body, init)
+        jax.lax.fori_loop(0, n_rounds, round_wrap, init)
     )
 
     out = render_at(T_cw)

@@ -96,6 +96,22 @@ def main(argv=None):
              "psnr_after": after["mean_psnr"], "ssim_after": after["mean_ssim"],
              "l1_depth_after": after["mean_l1_depth"]}
         )
+        # final wandb metrics table (reference slam.py:184-233: one
+        # Before/After row each of psnr/ssim/lpips/ATE/FPS)
+        if slam._wandb is not None:
+            try:
+                table = slam._wandb.Table(
+                    columns=["tag", "psnr", "ssim", "lpips", "RMSE ATE", "FPS"]
+                )
+                fps = metrics.get("fps_steady", metrics.get("fps"))
+                for tag, r in (("Before", before), ("After", after)):
+                    table.add_data(
+                        tag, r["mean_psnr"], r["mean_ssim"],
+                        r["mean_lpips"], ate["rmse"], fps,
+                    )
+                slam._wandb.log({"Metrics": table})
+            except Exception as e:  # wandb offline/broken must not kill the run
+                Log(f"wandb metrics table failed: {e}")
     slam.save("final")
     Log(f"Done. metrics={metrics}")
     return metrics

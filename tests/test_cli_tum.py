@@ -114,6 +114,17 @@ def test_slam_cli_tum_dynamic(tmp_path, monkeypatch):
     assert (run / "pose.txt").exists()
     final = json.load(open(run / "final_result.json"))
     assert np.isfinite(final["ate_rmse"])
+    # full reference artifact set (eval_utils.py:221-428): evo-style ATE
+    # stats + per-frame trajectories under plot/, per-phase rendering
+    # metrics under psnr/<label>/, and the final PLY export
+    stats = json.load(open(run / "plot" / "stats_final.json"))
+    assert np.isfinite(stats["rmse"])
+    trj = json.load(open(run / "plot" / "trj_final.json"))
+    assert len(trj["trj_est"]) == len(trj["trj_gt"]) == len(trj["trj_id"])
+    for label in ("before_opt", "after_opt"):
+        r = json.load(open(run / "psnr" / label / "final_result.json"))
+        assert np.isfinite(r["mean_psnr"])
+    assert (run / "point_cloud" / "final" / "point_cloud.ply").exists()
 
 
 def test_motion_segmenter_uses_tracked_poses(tmp_path):

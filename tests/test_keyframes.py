@@ -142,3 +142,69 @@ def test_reproject_mask_translation_shifts_coverage():
     # points shift +x by 0.4*50/2 = 10 px: left columns uncovered
     assert m[:, 0:6].all()
     assert not m[20:30, 20:40].any()
+
+
+def test_kf_store_wraparound_evicts_stale_ids():
+    """Past store capacity, slot reuse must evict the old keyframe id
+    from every id-keyed structure (kf_slot / kf_indices / window /
+    occ_visibility) so the replay pool can never resolve an evicted KF
+    to a slot now holding a different frame's image."""
+    from fourdgs.slam.keyframes import empty_store
+    from fourdgs.slam.runner import SLAM
+
+    s = SLAM.__new__(SLAM)
+    s.store = empty_store(4, 8, 8)
+    s.kf_slot = {}
+    s.kf_indices = []
+    s.occ_visibility = {}
+    s.window = []
+    s.kf_total = 0
+
+    for kf in range(8):  # 8 keyframes through a 4-slot store
+        slot = s._assign_kf_slot(kf)
+        s.occ_visibility[kf] = np.zeros(4, bool)
+        s.window = s.kf_indices[-2:][::-1]
+        assert slot == kf % 4
+        # every resident id maps to a unique live slot
+        assert len(set(s.kf_slot.values())) == len(s.kf_slot)
+        assert set(s.kf_slot) == set(s.kf_indices)
+        # evicted ids are gone everywhere the mapping replay pool reads
+        for old in range(kf - 3):
+            assert old not in s.kf_slot
+            assert old not in s.kf_indices
+            assert old not in s.window
+            assert old not in s.occ_visibility
+        # the replay pool (kf_indices -> kf_slot) points only at slots
+        # whose CURRENT occupant is that keyframe
+        for k in s.kf_indices:
+            assert s.kf_slot[k] == k % 4
+
+    assert s.kf_total == 8
+    assert s.kf_indices == [4, 5, 6, 7]
+
+
+def test_pair_bucket_ladder():
+    """{2^k, 3*2^k} pair-budget ladder with additive margin: the
+    640x480 aligned-layout floor (~154K slots) must land on 196608, not
+    overshoot to 262144; overflow advances one ladder step (1.5x)."""
+    from fourdgs.ops.rasterize import RasterConfig
+    from fourdgs.slam.runner import SLAM
+
+    s = SLAM.__new__(SLAM)
+    s._raster_base = RasterConfig(max_pairs=1 << 18)
+    s._pairs_floor = 0
+
+    def bucket(hwm):
+        s._pairs_hwm = hwm
+        return s._raster_for_capacity(1 << 15).max_pairs
+
+    assert bucket(0) == 1 << 18          # no measurement: worst case
+    assert bucket(1000) == 49_152        # floor + margin -> first 3*2^k
+    assert bucket(40_000) == 98_304      # 40K + 32K margin -> 3*2^15
+    assert bucket(153_600) == 196_608    # the aligned floor fits 3*2^16
+    assert bucket(250_000) == 262_144    # ceiling
+    # every bucket is a CHUNK*SUBS multiple (CSR grid granularity)
+    from fourdgs.ops.rasterize.tile_kernel import CHUNK, SUBS
+
+    for h in (0, 1000, 40_000, 153_600, 250_000):
+        assert bucket(h) % (CHUNK * SUBS) == 0
